@@ -1,0 +1,46 @@
+import os
+
+# Force a deterministic 8-device CPU mesh for all tests (multi-chip sharding
+# is validated on a virtual host-device mesh; real-TPU runs happen in bench).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_EXAMPLES = os.environ.get(
+    "AI2BMD_TPU_EXAMPLES", "/root/reference/examples"
+)
+
+
+def example_pdb(name: str) -> str:
+    if name == "chig-preeq-nowat":
+        return os.path.join(REFERENCE_EXAMPLES, "chig_preprocessed", "chig-preeq-nowat.pdb")
+    if name == "chig-preeq":
+        return os.path.join(REFERENCE_EXAMPLES, "chig_preprocessed", "chig-preeq.pdb")
+    return os.path.join(REFERENCE_EXAMPLES, f"{name}.pdb")
+
+
+def require_examples():
+    if not os.path.isdir(REFERENCE_EXAMPLES):
+        pytest.skip("reference example PDBs not available")
+
+
+@pytest.fixture(scope="session")
+def chig_protein():
+    require_examples()
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.io.reorder import normalize_atom_order
+    from ai2bmd_tpu.system import Protein
+
+    atoms = normalize_atom_order(read_pdb(example_pdb("chig")))
+    return Protein.from_atoms(atoms)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Convert the reference repository's load-bearing data assets into the
+numpy archives shipped under ai2bmd_tpu/data/assets/.
+
+The reference (microsoft/AI2BMD) carries three families of data that any
+reimplementation must reproduce bit-for-bit (SURVEY.md section 1 "Data
+assets"):
+
+  * per-residue fragment templates (atomic numbers, covalent bond graphs,
+    DFT self energies) — /root/reference/src/utils/reference.py:7-286
+  * the residue-triple -> AMBER atom-order permutation LUT
+    — /root/reference/src/utils/seq_dict.pkl (gzip pickle)
+  * AMBER ff19SB capped-dipeptide topologies
+    — /root/reference/src/Fragmentation/prmtop/*.prmtop
+
+This script converts them once, offline, into compact .npz archives.  Run:
+
+    python tools/convert_assets.py [--reference /root/reference]
+"""
+
+import argparse
+import glob
+import gzip
+import importlib.util
+import os
+import pickle
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ai2bmd_tpu.data.prmtop import load_prmtop  # noqa: E402
+
+ASSETS = os.path.join(REPO, "ai2bmd_tpu", "data", "assets")
+
+
+def _load_reference_tables(reference: str):
+    path = os.path.join(reference, "src", "utils", "reference.py")
+    spec = importlib.util.spec_from_file_location("_ref_tables", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def convert_residue_templates(reference: str):
+    mod = _load_reference_tables(reference)
+    out = {}
+    names = sorted(mod.fragment_atomic_numbers.keys())
+    out["names"] = np.array(names)
+    for name in names:
+        out[f"z_{name}"] = np.asarray(mod.fragment_atomic_numbers[name], dtype=np.int32)
+        out[f"atoms_{name}"] = np.array(list(mod.fragment_atoms_str.get(name, "")))
+        if name in mod.fragment_covalent_bonds:
+            src, dst, length = mod.fragment_covalent_bonds[name]
+            out[f"bond_src_{name}"] = np.asarray(src, dtype=np.int32)
+            out[f"bond_dst_{name}"] = np.asarray(dst, dtype=np.int32)
+            out[f"bond_len_{name}"] = np.asarray(length, dtype=np.float64)
+    info_names = sorted(mod.fragment_info.keys())
+    out["info_names"] = np.array(info_names)
+    out["info_type"] = np.array([mod.fragment_info[n][0] for n in info_names])
+    out["info_charge"] = np.array([mod.fragment_info[n][1] for n in info_names], dtype=np.int32)
+    out["info_mult"] = np.array([mod.fragment_info[n][2] for n in info_names], dtype=np.int32)
+    zs = sorted(mod.self_energies.keys())
+    out["self_energy_z"] = np.array(zs, dtype=np.int32)
+    out["self_energy_hartree"] = np.array([mod.self_energies[z] for z in zs])
+    np.savez_compressed(os.path.join(ASSETS, "residue_templates.npz"), **out)
+    print(f"residue_templates.npz: {len(names)} templates")
+
+
+def convert_seq_dict(reference: str):
+    with gzip.open(os.path.join(reference, "src", "utils", "seq_dict.pkl")) as f:
+        seq = pickle.load(f)
+    keys = sorted(seq.keys())
+    flat, offsets = [], [0]
+    for k in keys:
+        perm_src = list(seq[k].keys())      # source index for target slot 0..n-1
+        vals = list(seq[k].values())
+        assert vals == list(range(len(vals))), f"non-identity value order for {k}"
+        flat.extend(perm_src)
+        offsets.append(len(flat))
+    np.savez_compressed(
+        os.path.join(ASSETS, "seq_permutations.npz"),
+        keys=np.array(keys),
+        flat=np.array(flat, dtype=np.int32),
+        offsets=np.array(offsets, dtype=np.int64),
+    )
+    print(f"seq_permutations.npz: {len(keys)} residue triples")
+
+
+def convert_prmtops(reference: str):
+    out = {}
+    files = sorted(glob.glob(os.path.join(reference, "src", "Fragmentation", "prmtop", "*.prmtop")))
+    names = []
+    for path in files:
+        name = os.path.basename(path)[:-len(".prmtop")]
+        names.append(name)
+        top = load_prmtop(path)
+        for field in (
+            "charges", "masses", "atomic_numbers", "atom_type_index",
+            "nonbonded_parm_index", "lj_acoef", "lj_bcoef",
+            "bond_k", "bond_r0", "angle_k", "angle_t0",
+            "dihedral_k", "dihedral_n", "dihedral_phase", "scee", "scnb",
+            "bonds_h", "bonds_noh", "angles_h", "angles_noh",
+            "dihedrals_h", "dihedrals_noh",
+            "number_excluded", "excluded_list", "residue_pointers",
+        ):
+            out[f"{name}/{field}"] = getattr(top, field)
+        out[f"{name}/atom_names"] = np.array(top.atom_names)
+        out[f"{name}/residue_labels"] = np.array(top.residue_labels)
+        out[f"{name}/ntypes"] = np.array(top.ntypes)
+    out["names"] = np.array(names)
+    np.savez_compressed(os.path.join(ASSETS, "fragment_topologies.npz"), **out)
+    print(f"fragment_topologies.npz: {len(names)} capped-dipeptide topologies")
+
+
+def build_ff_table(reference: str):
+    """Per-(residue, atom-name) nonbonded parameters derived from the
+    ff19SB capped-dipeptide topologies: charge (e), sigma (A), eps (kcal/mol).
+
+    Replaces the reference's one-time OpenMM amber14 parameter extraction
+    (src/AIMD/protein.py:153-175) without an OpenMM dependency.
+    """
+    table: dict[tuple[str, str], tuple[float, float, float]] = {}
+    files = sorted(glob.glob(os.path.join(reference, "src", "Fragmentation", "prmtop", "*.prmtop")))
+    for path in files:
+        top = load_prmtop(path)
+        sigma_t, eps_t = top.lj_sigma_eps()
+        res_of = top.residue_of_atom()
+        for i in range(top.natom):
+            res = top.residue_labels[res_of[i]]
+            key = (res, top.atom_names[i])
+            t = top.atom_type_index[i]
+            val = (float(top.charges[i]), float(sigma_t[t]), float(eps_t[t]))
+            if key in table:
+                old = table[key]
+                if not np.allclose(old, val, atol=5e-4):
+                    # keep first occurrence; conflicts only expected for
+                    # termini-adjacent atoms which we don't hit mid-chain
+                    continue
+            table[key] = val
+    keys = sorted(table.keys())
+    np.savez_compressed(
+        os.path.join(ASSETS, "ff_nonbonded.npz"),
+        residue=np.array([k[0] for k in keys]),
+        atom=np.array([k[1] for k in keys]),
+        charge=np.array([table[k][0] for k in keys]),
+        sigma=np.array([table[k][1] for k in keys]),
+        eps=np.array([table[k][2] for k in keys]),
+    )
+    print(f"ff_nonbonded.npz: {len(keys)} (residue, atom) entries")
+
+
+def convert_reorder_table(reference: str):
+    """Amber -> tinker per-residue atom-order permutations.
+
+    Extracted from the literal table in the reference's pdb utilities
+    (src/utils/pdb.py:196-226, reorder_coord_amber2tinker).  The simulation
+    input PDBs (and hence the seq_permutations LUT) use this "tinker" layout:
+    N,CA,C,O,H,HA, heavy sidechain, sidechain hydrogens.
+    """
+    import ast
+
+    path = os.path.join(reference, "src", "utils", "pdb.py")
+    with open(path) as f:
+        text = f.read()
+    start = text.index("reorder_dict = {")
+    open_brace = text.index("{", start)
+    depth = 0
+    for i in range(open_brace, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    table = ast.literal_eval(text[open_brace:end])
+    out = {}
+    for res, perm in table.items():
+        out[res] = np.array(perm, dtype=np.int32)
+    np.savez_compressed(os.path.join(ASSETS, "amber2tinker.npz"), **out)
+    print(f"amber2tinker.npz: {len(out)} residue orderings")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+    os.makedirs(ASSETS, exist_ok=True)
+    convert_residue_templates(args.reference)
+    convert_seq_dict(args.reference)
+    convert_prmtops(args.reference)
+    build_ff_table(args.reference)
+    convert_reorder_table(args.reference)
+
+
+if __name__ == "__main__":
+    main()
