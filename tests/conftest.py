@@ -2,12 +2,19 @@ import os
 
 # Force a deterministic 8-device CPU mesh for all tests (multi-chip sharding
 # is validated on a virtual host-device mesh; real-TPU runs happen in bench).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the surrounding environment exports JAX_PLATFORMS=axon (tunneled TPU)
+# and the plugin merges itself back in, so the env var alone is NOT enough —
+# jax.config.update after import is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
