@@ -1,0 +1,193 @@
+"""Device-side per-step fragment pipeline.
+
+Everything here runs inside jit on padded static shapes.  Per MD step:
+
+  protein positions [N,3]
+    -> gather into dipeptide rows [R,S,3] + cap-H placement along the
+       acceptor->replaced-atom direction (reference:
+       src/Fragmentation/distancefrag.py:34-54)
+    -> L-BFGS cap optimization over AMBER terms (frag.hydrogen)
+    -> ACE-NME views gathered from the optimized rows (distancefrag.py:286-307)
+    -> one batched ViSNet call per fragment family (dipeptides, ACE-NMEs)
+    -> energy combine E = sum(E_dip) - sum(E_ace) and force stitching via
+       a single segment_sum (reference combiner.py:12-41 scatter-add)
+
+The reference's per-device chunking, thread pools and work partitioner
+(device_strategy.py:84-127, bonded.py:51-83) disappear: the fragment batch
+is one tensor; multi-chip scaling shards the row axis (ai2bmd_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai2bmd_tpu.frag import hydrogen as H
+from ai2bmd_tpu.frag.indexer import ACENME_Z, FragmentIndex
+from ai2bmd_tpu.frag.topology import build_type_topology
+from ai2bmd_tpu.models import visnet as V
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _Static:
+    n_atoms: int
+    n_rows: int
+    slots: int
+    n_ace: int
+    opt_iters: int
+
+
+@dataclasses.dataclass
+class FragmentRuntime:
+    """Static device-side arrays derived from a FragmentIndex."""
+
+    static: _Static
+    gather_idx: Any          # [R,S] int32
+    cap_dir_idx: Any         # [R,S] int32
+    cap_radius: Any          # [R,S,1] f32
+    is_cap: Any              # [R,S] bool
+    valid: Any               # [R,S] bool
+    row_z: Any               # [R,S] int32
+    row_has_atoms: Any       # [R] bool
+    pad_pos: Any             # [R,S,3] parking positions for padding slots
+    ace_rows: Any            # [C,12] int32
+    ace_slots: Any           # [C,12] int32
+    ace_z: Any               # [C,12] int32
+    ace_valid: Any           # [C] bool (False for row-padding)
+    dip_dst: Any             # [R,S] int32 stitch target (n_atoms = dump)
+    ace_dst: Any             # [C,12] int32
+    ht: H.HydrogenTables
+
+    @classmethod
+    def build(
+        cls, fi: FragmentIndex, opt_iters: int = 10, row_multiple: int = 1
+    ) -> "FragmentRuntime":
+        """row_multiple pads both the dipeptide-row and ACE-NME axes so they
+        divide evenly across a mesh axis (ai2bmd_tpu.parallel)."""
+        fi = _pad_rows(fi, row_multiple)
+        R, S = fi.n_rows, fi.slots
+        top = build_type_topology(sorted({t for t in fi.row_prmtop if t}))
+        ht = H.HydrogenTables.build(
+            top, [t if t else top.names[0] for t in fi.row_prmtop], fi.is_cap
+        )
+        # empty rows must not optimize anything
+        ht.free = ht.free * (fi.row_natom > 0)[:, None, None]
+        # park padding slots far away and far apart
+        r_idx, s_idx = np.meshgrid(np.arange(R), np.arange(S), indexing="ij")
+        pad_pos = np.stack(
+            [1e4 + 200.0 * r_idx, 1e4 + 200.0 * s_idx, np.zeros_like(r_idx, dtype=float)],
+            axis=-1,
+        ).astype(np.float32)
+
+        real = fi.valid & ~fi.is_cap
+        dip_dst = np.where(real, fi.gather_idx, fi.n_atoms).astype(np.int32)
+        ace_valid = np.arange(len(fi.ace_rows)) < fi.n_acenmes
+        ace_dst = np.where(
+            (~fi.ace_is_cap) & ace_valid[:, None], fi.ace_origin, fi.n_atoms
+        ).astype(np.int32)
+
+        return cls(
+            static=_Static(fi.n_atoms, R, S, len(fi.ace_rows), opt_iters),
+            gather_idx=jnp.asarray(fi.gather_idx),
+            cap_dir_idx=jnp.asarray(fi.cap_dir_idx),
+            cap_radius=jnp.asarray(fi.cap_radius[..., None]),
+            is_cap=jnp.asarray(fi.is_cap),
+            valid=jnp.asarray(fi.valid),
+            row_z=jnp.asarray(fi.row_z),
+            row_has_atoms=jnp.asarray(fi.row_natom > 0),
+            pad_pos=jnp.asarray(pad_pos),
+            ace_rows=jnp.asarray(fi.ace_rows),
+            ace_slots=jnp.asarray(fi.ace_slots),
+            ace_z=jnp.asarray(np.tile(ACENME_Z, (len(fi.ace_rows), 1))),
+            ace_valid=jnp.asarray(ace_valid),
+            dip_dst=jnp.asarray(dip_dst),
+            ace_dst=jnp.asarray(ace_dst),
+            ht=ht,
+        )
+
+
+def _pad_rows(fi: FragmentIndex, multiple: int) -> FragmentIndex:
+    """Pad the row and ACE-NME axes to a multiple (empty rows / dummy aces)
+    so they shard evenly across a mesh axis.  n_dipeptides / n_acenmes keep
+    their true values; padded aces index row 0 and are masked out via
+    ace_valid (= index < n_acenmes)."""
+    if multiple <= 1:
+        return fi
+    R = fi.n_rows
+    Rp = ((R + multiple - 1) // multiple) * multiple
+    C = len(fi.ace_rows)
+    Cp = ((C + multiple - 1) // multiple) * multiple
+    if Rp == R and Cp == C:
+        return fi
+
+    def pad2(a, n, fill=0):
+        if n == a.shape[0]:
+            return a
+        widths = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, constant_values=fill)
+
+    return dataclasses.replace(
+        fi,
+        n_rows=Rp,
+        row_type=fi.row_type + [""] * (Rp - R),
+        row_prmtop=fi.row_prmtop + [""] * (Rp - R),
+        row_natom=pad2(fi.row_natom, Rp),
+        row_z=pad2(fi.row_z, Rp),
+        valid=pad2(fi.valid, Rp),
+        is_cap=pad2(fi.is_cap, Rp),
+        gather_idx=pad2(fi.gather_idx, Rp),
+        cap_dir_idx=pad2(fi.cap_dir_idx, Rp),
+        cap_radius=pad2(fi.cap_radius, Rp),
+        ace_rows=pad2(fi.ace_rows, Cp),
+        ace_slots=pad2(fi.ace_slots, Cp),
+    )
+
+
+def build_row_positions(rt: FragmentRuntime, P: jnp.ndarray) -> jnp.ndarray:
+    """Protein positions [N,3] -> dipeptide rows [R,S,3] with placed caps."""
+    base = P[rt.gather_idx]                       # acceptor (or the atom itself)
+    direction = P[rt.cap_dir_idx] - base
+    unit = H._safe_unit(direction)
+    capped = base + unit * rt.cap_radius
+    pos = jnp.where(rt.is_cap[..., None], capped, base)
+    return jnp.where(rt.valid[..., None], pos, rt.pad_pos)
+
+
+def fragment_energy_forces(
+    params: dict,
+    rt: FragmentRuntime,
+    P: jnp.ndarray,
+    cfg: V.ViSNetConfig,
+):
+    """Bonded (ML) fragment energy/forces.
+
+    Returns (E_bonded scalar [eV], F [N,3] [eV/A]).  Force stitching matches
+    the reference exactly: cap-H forces are discarded, dipeptide forces add,
+    ACE-NME forces subtract, scatter-added onto protein atoms
+    (combiner.py:23-41); gradients are NOT propagated through cap placement
+    or cap optimization (the reference's autograd graph also stops at the
+    fragment positions).
+    """
+    N = rt.static.n_atoms
+    pos = build_row_positions(rt, P)
+    pos = jax.lax.stop_gradient(
+        H.optimize_caps(rt.ht, pos, n_iter=rt.static.opt_iters)
+    )
+
+    e_d, f_d = V.energy_and_forces(params, rt.row_z, pos, rt.valid, cfg)
+    ace_pos = pos[rt.ace_rows, rt.ace_slots]
+    ace_mask = jnp.broadcast_to(rt.ace_valid[:, None], rt.ace_z.shape)
+    e_a, f_a = V.energy_and_forces(params, rt.ace_z, ace_pos, ace_mask, cfg)
+
+    energy = jnp.sum(e_d * rt.row_has_atoms) - jnp.sum(e_a * rt.ace_valid)
+
+    # one fused scatter-add over both families
+    flat_src = jnp.concatenate([f_d.reshape(-1, 3), -f_a.reshape(-1, 3)])
+    flat_dst = jnp.concatenate([rt.dip_dst.reshape(-1), rt.ace_dst.reshape(-1)])
+    forces = jax.ops.segment_sum(flat_src, flat_dst, num_segments=N + 1)[:N]
+    return energy, forces

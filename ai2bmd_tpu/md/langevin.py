@@ -1,0 +1,146 @@
+"""Langevin dynamics with ASE-compatible semantics, jitted.
+
+Implements the Vanden-Eijnden / Ciccotti third-order Langevin integrator
+exactly as ASE's `Langevin` (the reference drives it at timestep*fs,
+friction 0.001/fs, reference src/AIMD/simulator.py:110-116), with the
+Maxwell-Boltzmann velocity init (simulator.py:96).  The RNG-pool latency
+trick (utils.py:28-49) is unnecessary: normals are generated in-graph from
+a threaded jax.random key.
+
+Units: ASE internal (A, eV, amu, time = A*sqrt(amu/eV)); temperature enters
+as kB*T in eV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ai2bmd_tpu import units
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MDState:
+    positions: Any      # [N,3] A
+    velocities: Any     # [N,3] A / internal-time
+    forces: Any         # [N,3] eV/A (forces at `positions`)
+    energy: Any         # scalar eV
+    key: Any            # jax PRNG key
+    step: Any           # int32
+
+
+@dataclasses.dataclass(frozen=True)
+class LangevinCoeffs:
+    dt: float
+    c1: float
+    c2: float
+    c3: Any
+    c4: Any
+    c5: Any
+
+    @classmethod
+    def build(cls, masses, timestep_fs: float, temp_K: float, friction_per_fs: float):
+        dt = timestep_fs * units.fs
+        fr = friction_per_fs / units.fs
+        T = temp_K * units.kB
+        m = jnp.asarray(masses)[:, None]
+        sigma = jnp.sqrt(2.0 * T * fr / m)
+        return cls(
+            dt=dt,
+            c1=dt / 2.0 - dt * dt * fr / 8.0,
+            c2=dt * fr / 2.0 - dt * dt * fr * fr / 8.0,
+            c3=jnp.sqrt(dt) * sigma / 2.0 - dt**1.5 * fr * sigma / 8.0,
+            c4=fr / 2.0 * (dt**1.5 * sigma / (2.0 * jnp.sqrt(3.0))),
+            c5=dt**1.5 * sigma / (2.0 * jnp.sqrt(3.0)),
+        )
+
+
+def maxwell_boltzmann_velocities(key, masses, temp_K: float, dtype=jnp.float32):
+    m = jnp.asarray(masses, dtype)[:, None]
+    std = jnp.sqrt(temp_K * units.kB / m)
+    return std * jax.random.normal(key, (len(masses), 3), dtype)
+
+
+def kinetic_energy(masses, velocities):
+    m = jnp.asarray(masses)[:, None]
+    return 0.5 * jnp.sum(m * velocities * velocities)
+
+
+def temperature(masses, velocities):
+    ekin = kinetic_energy(masses, velocities)
+    n = velocities.shape[0]
+    return 2.0 * ekin / (3.0 * n * units.kB)
+
+
+def langevin_step(
+    potential: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    coeffs: LangevinCoeffs,
+    masses,
+    state: MDState,
+    fixcm: bool = True,
+) -> MDState:
+    """One Langevin step (two half-kicks around the position update)."""
+    m = jnp.asarray(masses, state.velocities.dtype)[:, None]
+    key, k1, k2 = jax.random.split(state.key, 3)
+    shape = state.positions.shape
+    xi = jax.random.normal(k1, shape, state.positions.dtype)
+    eta = jax.random.normal(k2, shape, state.positions.dtype)
+
+    v = state.velocities
+    f = state.forces
+    v = v + (coeffs.c1 * f / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
+    x = state.positions + coeffs.dt * v + coeffs.c5 * eta
+    if fixcm:
+        shift = jnp.sum((x - state.positions) * m, axis=0) / jnp.sum(m)
+        x = x - shift
+
+    energy, f_new = potential(x)
+    v = v + (coeffs.c1 * f_new / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
+
+    return MDState(
+        positions=x,
+        velocities=v,
+        forces=f_new,
+        energy=energy,
+        key=key,
+        step=state.step + 1,
+    )
+
+
+def velocity_verlet_step(potential, dt_fs: float, masses, state: MDState) -> MDState:
+    """NVE velocity-Verlet (for energy-conservation tests and NVE runs)."""
+    dt = dt_fs * units.fs
+    m = jnp.asarray(masses, state.velocities.dtype)[:, None]
+    v_half = state.velocities + 0.5 * dt * state.forces / m
+    x = state.positions + dt * v_half
+    energy, f_new = potential(x)
+    v = v_half + 0.5 * dt * f_new / m
+    return MDState(
+        positions=x, velocities=v, forces=f_new, energy=energy,
+        key=state.key, step=state.step + 1,
+    )
+
+
+def berendsen_step(potential, dt_fs: float, temp_K: float, taut_fs: float,
+                   masses, state: MDState) -> MDState:
+    """NVT Berendsen thermostat (the reference keeps a commented-out
+    NVTBerendsen configuration, simulator.py:98-105)."""
+    dt = dt_fs * units.fs
+    m = jnp.asarray(masses, state.velocities.dtype)[:, None]
+    t_inst = temperature(masses, state.velocities)
+    lam = jnp.sqrt(
+        1.0 + (dt_fs / taut_fs) * (temp_K / jnp.maximum(t_inst, 1e-6) - 1.0)
+    )
+    v = state.velocities * lam
+    v_half = v + 0.5 * dt * state.forces / m
+    x = state.positions + dt * v_half
+    energy, f_new = potential(x)
+    v = v_half + 0.5 * dt * f_new / m
+    return MDState(
+        positions=x, velocities=v, forces=f_new, energy=energy,
+        key=state.key, step=state.step + 1,
+    )

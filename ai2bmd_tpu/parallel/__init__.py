@@ -1,0 +1,2 @@
+from ai2bmd_tpu.parallel.mesh import make_mesh  # noqa: F401
+from ai2bmd_tpu.parallel.sharding import EnsembleSimulation  # noqa: F401

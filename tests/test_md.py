@@ -1,0 +1,180 @@
+"""Integrator + simulation-driver tests: NVE drift, Langevin thermostat,
+restart determinism, trajectory writers."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai2bmd_tpu import units
+from ai2bmd_tpu.io import trajectory as T
+from ai2bmd_tpu.md import langevin as L
+from ai2bmd_tpu.md.simulation import SimulationConfig, Simulator, TemperatureRunawayError
+
+
+def _lj_potential(eps=0.01, sigma=3.0):
+    def pot(P):
+        vec = P[None, :, :] - P[:, None, :]
+        d2 = jnp.sum(vec * vec, -1) + jnp.eye(P.shape[0]) * 1e9
+        c6 = (sigma**2 / d2) ** 3
+        e = 0.5 * jnp.sum(4 * eps * (c6**2 - c6))
+        return e, -jax.grad(
+            lambda p: 0.5
+            * jnp.sum(
+                4
+                * eps
+                * (
+                    ((sigma**2 / (jnp.sum((p[None] - p[:, None]) ** 2, -1) + jnp.eye(p.shape[0]) * 1e9)) ** 3) ** 2
+                    - (sigma**2 / (jnp.sum((p[None] - p[:, None]) ** 2, -1) + jnp.eye(p.shape[0]) * 1e9)) ** 3
+                )
+            )
+        )(P)
+
+    return pot
+
+
+def _grid_cluster(n_side=3, spacing=3.4):
+    g = np.arange(n_side) * spacing
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    return jnp.asarray(pos + 0.01 * np.random.default_rng(0).random(pos.shape), jnp.float32)
+
+
+def test_nve_energy_conservation():
+    pot = _lj_potential()
+    P = _grid_cluster()
+    n = P.shape[0]
+    masses = np.full(n, 39.95)  # argon
+    key = jax.random.PRNGKey(0)
+    vel = L.maxwell_boltzmann_velocities(key, masses, 30.0)
+    e0, f0 = pot(P)
+    state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s = L.velocity_verlet_step(pot, 1.0, masses, s)
+            return s, s.energy + L.kinetic_energy(masses, s.velocities)
+
+        return jax.lax.scan(body, state, None, length=400)
+
+    state, etot = run(state)
+    etot = np.asarray(etot)
+    drift = (etot.max() - etot.min()) / n
+    assert drift < 5e-4, f"NVE drift {drift} eV/atom over 400 fs"
+
+
+def test_langevin_thermalizes():
+    pot = _lj_potential()
+    P = _grid_cluster()
+    n = P.shape[0]
+    masses = np.full(n, 39.95)
+    target = 40.0
+    coeffs = L.LangevinCoeffs.build(masses, 2.0, target, 0.02)
+    key = jax.random.PRNGKey(1)
+    e0, f0 = pot(P)
+    state = L.MDState(P, jnp.zeros_like(P), f0, e0, key, jnp.asarray(0))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s = L.langevin_step(pot, coeffs, masses, s)
+            return s, L.temperature(masses, s.velocities)
+
+        return jax.lax.scan(body, state, None, length=3000)
+
+    state, temps = run(state)
+    tail = np.asarray(temps)[1500:]
+    assert abs(tail.mean() - target) < 0.25 * target, tail.mean()
+
+
+def test_langevin_fixes_com():
+    pot = _lj_potential()
+    P = _grid_cluster()
+    masses = np.full(P.shape[0], 39.95)
+    coeffs = L.LangevinCoeffs.build(masses, 1.0, 300.0, 0.01)
+    e0, f0 = pot(P)
+    state = L.MDState(P, jnp.zeros_like(P), f0, e0, jax.random.PRNGKey(2), jnp.asarray(0))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return L.langevin_step(pot, coeffs, masses, s), None
+
+        return jax.lax.scan(body, state, None, length=200)[0]
+
+    state = run(state)
+    m = masses[:, None]
+    com0 = np.sum(np.asarray(P) * m, 0) / m.sum()
+    com1 = np.sum(np.asarray(state.positions) * m, 0) / m.sum()
+    assert np.abs(com1 - com0).max() < 1e-3
+
+
+def _make_sim(tmp_path, preeq=0, record=10, seed=3):
+    pot = _lj_potential()
+    P = _grid_cluster()
+    n = P.shape[0]
+    masses = np.full(n, 39.95)
+    cfg = SimulationConfig(
+        timestep_fs=2.0, temp_K=40.0, record_per_steps=record, seed=seed,
+        preeq_steps=preeq, runaway_factor=50.0,
+    )
+    sim = Simulator(pot, masses, np.full(n, 18), cfg, str(tmp_path), "lj")
+    return sim, P
+
+
+def test_simulator_end_to_end(tmp_path):
+    sim, P = _make_sim(tmp_path, preeq=5)
+    logs = []
+    state = sim.initial_state(np.asarray(P))
+    state = sim.pre_equilibrate(state, log=logs.append)
+    state = sim.run(state, 30, log=logs.append)
+    assert int(state.step) == 5 * 5 + 30
+    assert os.path.exists(tmp_path / "lj-traj.xyz")
+    assert os.path.exists(tmp_path / "lj-traj.dcd")
+    frames = T.read_dcd(str(tmp_path / "lj-traj.dcd"))
+    assert frames.shape == (3, 27, 3)
+    assert any("Pre-equilibration" in l for l in logs)
+
+
+def test_restart_continuity(tmp_path):
+    sim, P = _make_sim(tmp_path)
+    state = sim.initial_state(np.asarray(P))
+    state = sim.run(state, 20, log=lambda *_: None)
+    restart_path = str(tmp_path / "lj-restart.npz")
+    assert os.path.exists(restart_path)
+
+    state_b = sim.initial_state(np.asarray(P), restart=restart_path)
+    np.testing.assert_allclose(
+        np.asarray(state_b.positions), np.asarray(state.positions), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_b.velocities), np.asarray(state.velocities), atol=1e-6
+    )
+    assert int(state_b.step) == int(state.step)
+    state_b = sim.run(state_b, 10, log=lambda *_: None)
+    assert int(state_b.step) == 30
+
+
+def test_temperature_runaway_raises(tmp_path):
+    sim, P = _make_sim(tmp_path)
+    sim.cfg.runaway_factor = 1e-6  # any motion triggers
+    state = sim.initial_state(np.asarray(P))
+    with pytest.raises(TemperatureRunawayError):
+        sim.run(state, 10, log=lambda *_: None)
+
+
+def test_maxwell_boltzmann_statistics():
+    masses = np.full(2000, 12.0)
+    v = L.maxwell_boltzmann_velocities(jax.random.PRNGKey(0), masses, 300.0)
+    t = float(L.temperature(masses, v))
+    assert abs(t - 300.0) < 15.0
+
+
+def test_units_consistency():
+    # 1 fs in ASE internal time units (ASE: units.fs ~ 0.09822694750253231)
+    assert abs(units.fs - 0.09822694750253231) < 1e-8
+    assert abs(units.kB - 8.617330337217213e-05) < 1e-10
+    assert abs(units.COULOMB - 14.399645478425668) < 1e-6
+    assert abs(units.kcal_per_mol - 0.04336410390059322) < 1e-9
