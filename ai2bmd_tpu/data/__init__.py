@@ -95,6 +95,12 @@ class FragmentTopology:
     def lj_pair_index(self, ti, tj):
         return self.nonbonded_parm_index[self.ntypes * ti + tj]
 
+    def residue_of_atom(self) -> np.ndarray:
+        res = np.zeros(self.natom, dtype=np.int32)
+        for i, start in enumerate(self.residue_pointers):
+            res[start:] = i
+        return res
+
     def exclusion_pairs(self) -> np.ndarray:
         out = []
         ptr = 0

@@ -1,0 +1,252 @@
+"""Generic classical MM engine (ff19SB protein + TIP3P water + ions, PME).
+
+This is the in-framework replacement for the Tinker9 co-process the
+reference drives over sockets for every step (src/Calculators/
+tinker_async.py:127-200): a fixed-charge periodic force field evaluated as
+one jitted tensor program — bonded terms, neighbor-list LJ + erfc Coulomb,
+and reciprocal-space PME, with AMBER 1-2/1-3 exclusions and scaled 1-4
+pairs handled by explicit pair-list corrections.
+
+Fidelity note (SURVEY.md section 7 phase 4): the reference's solvent model
+is polarizable AMOEBA; this engine is the fixed-charge class
+(amber/TIP3P).  The QM/MM combiner (ai2bmd_tpu.physics.qmmm) is written
+against this module's interface so a polarizable backend can slot in.
+
+Units: positions A, energy eV, forces eV/A.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai2bmd_tpu import units
+from ai2bmd_tpu.data.protein_topology import SystemTopology
+from ai2bmd_tpu.ops.neighbors import NeighborList, _pbc_diff
+from ai2bmd_tpu.physics.pme import SPLINE_ORDER, _bspline4, _euler_spline_mod2
+
+KCAL = units.kcal_per_mol
+
+
+@dataclasses.dataclass
+class MMSystem:
+    """Device-side MM tables for one (sub)system."""
+
+    n_atoms: int
+    cell: Any
+    cutoff: float
+    beta: float
+    grid: tuple
+    influence: Any
+    charge: Any           # [N] e
+    sigma: Any            # [N] A
+    eps: Any              # [N] eV
+    bonds: Any
+    bond_k: Any           # eV/A^2
+    bond_r0: Any
+    angles: Any
+    angle_k: Any
+    angle_t0: Any
+    dihedrals: Any
+    dih_k: Any
+    dih_n: Any
+    dih_phase: Any
+    excl_pairs: Any
+    pairs14: Any
+    scee: float
+    scnb: float
+    e_self: float         # eV
+    e_neutral: float      # eV
+
+    @classmethod
+    def build(
+        cls,
+        top: SystemTopology,
+        cell: np.ndarray,
+        cutoff: float = 9.0,
+        beta: float = 0.35,
+        grid_spacing: float = 1.0,
+        scee: float = 1.2,
+        scnb: float = 2.0,
+    ) -> "MMSystem":
+        cell = np.asarray(cell, np.float64)
+        grid = tuple(max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell)
+        volume = float(np.prod(cell))
+        ms = [np.fft.fftfreq(K) * K / L for K, L in zip(grid, cell)]
+        MX, MY, MZ = np.meshgrid(*ms, indexing="ij")
+        m2 = MX**2 + MY**2 + MZ**2
+        b2 = (
+            _euler_spline_mod2(grid[0])[:, None, None]
+            * _euler_spline_mod2(grid[1])[None, :, None]
+            * _euler_spline_mod2(grid[2])[None, None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            infl = np.exp(-np.pi**2 * m2 / beta**2) / m2 * b2
+        infl.flat[0] = 0.0
+        infl /= 2.0 * np.pi * volume
+
+        q = top.charges
+        e_self = -beta / np.sqrt(np.pi) * float(np.sum(q * q)) * units.COULOMB
+        e_neutral = (
+            -np.pi / (2.0 * beta**2 * volume) * float(np.sum(q)) ** 2 * units.COULOMB
+        )
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        i32 = lambda a: jnp.asarray(a, jnp.int32)
+        return cls(
+            n_atoms=top.n_atoms,
+            cell=f32(cell),
+            cutoff=cutoff,
+            beta=beta,
+            grid=grid,
+            influence=f32(infl),
+            charge=f32(q),
+            sigma=f32(top.sigmas),
+            eps=f32(top.epsilons * KCAL),
+            bonds=i32(top.bonds),
+            bond_k=f32(top.bond_k * KCAL),
+            bond_r0=f32(top.bond_r0),
+            angles=i32(top.angles),
+            angle_k=f32(top.angle_k * KCAL),
+            angle_t0=f32(top.angle_t0),
+            dihedrals=i32(top.dihedrals),
+            dih_k=f32(top.dih_k * KCAL),
+            dih_n=f32(top.dih_n),
+            dih_phase=f32(top.dih_phase),
+            excl_pairs=i32(top.excl_pairs),
+            pairs14=i32(top.pairs14),
+            scee=scee,
+            scnb=scnb,
+            e_self=e_self,
+            e_neutral=e_neutral,
+        )
+
+
+def _safe_norm(v, axis=-1, eps=1e-12):
+    d2 = jnp.sum(v * v, axis=axis)
+    nz = d2 > eps
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+
+
+def _safe_unit(v, axis=-1, eps=1e-12):
+    d2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    nz = d2 > eps
+    return v * jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+
+
+def bonded_energy(mm: MMSystem, P: jnp.ndarray) -> jnp.ndarray:
+    cell = mm.cell
+    e = jnp.asarray(0.0, jnp.float32)
+    if mm.bonds.shape[0]:
+        d = _safe_norm(_pbc_diff(P[mm.bonds[:, 0]] - P[mm.bonds[:, 1]], cell))
+        e = e + jnp.sum(mm.bond_k * (d - mm.bond_r0) ** 2)
+    if mm.angles.shape[0]:
+        v0 = _pbc_diff(P[mm.angles[:, 0]] - P[mm.angles[:, 1]], cell)
+        v1 = _pbc_diff(P[mm.angles[:, 2]] - P[mm.angles[:, 1]], cell)
+        y = _safe_norm(jnp.cross(v0, v1))
+        x = jnp.sum(v0 * v1, axis=-1)
+        theta = jnp.arctan2(y, x)
+        e = e + jnp.sum(mm.angle_k * (theta - mm.angle_t0) ** 2)
+    if mm.dihedrals.shape[0]:
+        p0, p1 = P[mm.dihedrals[:, 0]], P[mm.dihedrals[:, 1]]
+        p2, p3 = P[mm.dihedrals[:, 2]], P[mm.dihedrals[:, 3]]
+        v0 = _pbc_diff(p1 - p2, cell)
+        v1 = _pbc_diff(p1 - p0, cell)
+        v2 = _pbc_diff(p3 - p2, cell)
+        n1 = _safe_unit(jnp.cross(v1, v0))
+        n2 = _safe_unit(jnp.cross(v0, v2))
+        m1 = jnp.cross(n1, _safe_unit(v0))
+        x = jnp.sum(n1 * n2, axis=-1)
+        y = jnp.sum(m1 * n2, axis=-1)
+        ok = (x * x + y * y) > 1e-12
+        phi = jnp.arctan2(jnp.where(ok, y, 0.0), jnp.where(ok, x, 1.0))
+        e = e + jnp.sum(mm.dih_k * (1.0 + jnp.cos(mm.dih_n * phi - mm.dih_phase)))
+    return e
+
+
+def _pair_terms(mm: MMSystem, P, pairs):
+    """(qq/r, LJ) raw terms for an explicit pair list (minimum image)."""
+    i, j = pairs[:, 0], pairs[:, 1]
+    d = _safe_norm(_pbc_diff(P[i] - P[j], mm.cell))
+    d = jnp.maximum(d, 1e-3)
+    qq = mm.charge[i] * mm.charge[j]
+    coul = units.COULOMB * qq / d
+    sig = 0.5 * (mm.sigma[i] + mm.sigma[j])
+    eps = jnp.sqrt(mm.eps[i] * mm.eps[j])
+    c6 = (sig / d) ** 6
+    lj = 4.0 * eps * (c6 * c6 - c6)
+    return coul, lj, d
+
+
+def nonbonded_nl_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList):
+    """Neighbor-list LJ + erfc-Coulomb (counted twice, halved) + PME rec."""
+    Pj = jnp.concatenate([P, jnp.zeros((1, 3), P.dtype)])[nl.idx]   # [N,K,3]
+    vec = _pbc_diff(Pj - P[:, None, :], mm.cell)
+    d2 = jnp.sum(vec * vec, axis=-1)
+    valid = nl.valid & (d2 < mm.cutoff**2)
+    d2 = jnp.where(valid, d2, 1.0)
+    d = jnp.sqrt(d2)
+
+    qj = jnp.concatenate([mm.charge, jnp.zeros(1)])[nl.idx]
+    qq = mm.charge[:, None] * qj
+    e_coul_dir = 0.5 * jnp.sum(
+        jnp.where(valid, units.COULOMB * qq * jax.lax.erfc(mm.beta * d) / d, 0.0)
+    )
+
+    sj = jnp.concatenate([mm.sigma, jnp.zeros(1)])[nl.idx]
+    ej = jnp.concatenate([mm.eps, jnp.zeros(1)])[nl.idx]
+    sig = 0.5 * (mm.sigma[:, None] + sj)
+    eps = jnp.sqrt(mm.eps[:, None] * ej)
+    c6 = (sig * sig / d2) ** 3
+    e_lj = 0.5 * jnp.sum(jnp.where(valid, 4.0 * eps * (c6 * c6 - c6), 0.0))
+
+    # reciprocal space
+    rho = _spread(mm, P)
+    e_rec = jnp.sum(mm.influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
+
+    # exclusion corrections: remove full Coulomb (erfc part was in dir,
+    # erf part came via rec) and full LJ for 1-2/1-3; re-add scaled 1-4
+    e = e_coul_dir + e_lj + e_rec + mm.e_self + mm.e_neutral
+    if mm.excl_pairs.shape[0]:
+        coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs)
+        e = e - jnp.sum(coul) - jnp.sum(lj)
+    if mm.pairs14.shape[0]:
+        coul, lj, _ = _pair_terms(mm, P, mm.pairs14)
+        e = e - jnp.sum(coul) * (1.0 - 1.0 / mm.scee)
+        e = e - jnp.sum(lj) * (1.0 - 1.0 / mm.scnb)
+    return e
+
+
+def _spread(mm: MMSystem, P):
+    Kx, Ky, Kz = mm.grid
+    K = jnp.asarray(mm.grid)
+    u = P / mm.cell * K
+    i0 = jnp.floor(u).astype(jnp.int32)
+    t = u - i0
+    offs = jnp.arange(SPLINE_ORDER)
+    w = _bspline4(t[:, None, :] + 3.0 - offs[None, :, None])
+    idx = (i0[:, None, :] - 3 + offs[None, :, None]) % K
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    W = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    lin = (
+        ix[:, :, None, None] * (Ky * Kz)
+        + iy[:, None, :, None] * Kz
+        + iz[:, None, None, :]
+    )
+    contrib = (mm.charge[:, None, None, None] * W).reshape(-1)
+    rho = jax.ops.segment_sum(contrib, lin.reshape(-1), num_segments=Kx * Ky * Kz)
+    return rho.reshape(Kx, Ky, Kz)
+
+
+def mm_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList) -> jnp.ndarray:
+    return bonded_energy(mm, P) + nonbonded_nl_energy(mm, P, nl)
+
+
+def mm_energy_forces(mm: MMSystem, P: jnp.ndarray, nl: NeighborList):
+    e, g = jax.value_and_grad(lambda p: mm_energy(mm, p, nl))(P)
+    return e, -g
