@@ -31,6 +31,18 @@ class MDState:
     energy: Any         # scalar eV
     key: Any            # jax PRNG key
     step: Any           # int32
+    aux: Any = ()       # potential-side carry (e.g. neighbor lists)
+
+
+def lift_potential(potential):
+    """Wrap a stateless P -> (E, F) potential into the stateful
+    (P, aux) -> (E, F, aux) protocol the integrators use."""
+
+    def wrapped(P, aux):
+        e, f = potential(P)
+        return e, f, aux
+
+    return wrapped
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,13 +89,16 @@ def temperature(masses, velocities):
 
 
 def langevin_step(
-    potential: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    potential: Callable,
     coeffs: LangevinCoeffs,
     masses,
     state: MDState,
     fixcm: bool = True,
 ) -> MDState:
-    """One Langevin step (two half-kicks around the position update)."""
+    """One Langevin step (two half-kicks around the position update).
+
+    `potential` uses the stateful protocol (P, aux) -> (E, F, aux); wrap
+    plain potentials with lift_potential."""
     m = jnp.asarray(masses, state.velocities.dtype)[:, None]
     key, k1, k2 = jax.random.split(state.key, 3)
     shape = state.positions.shape
@@ -98,7 +113,7 @@ def langevin_step(
         shift = jnp.sum((x - state.positions) * m, axis=0) / jnp.sum(m)
         x = x - shift
 
-    energy, f_new = potential(x)
+    energy, f_new, aux = potential(x, state.aux)
     v = v + (coeffs.c1 * f_new / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
 
     return MDState(
@@ -108,6 +123,7 @@ def langevin_step(
         energy=energy,
         key=key,
         step=state.step + 1,
+        aux=aux,
     )
 
 
@@ -117,11 +133,11 @@ def velocity_verlet_step(potential, dt_fs: float, masses, state: MDState) -> MDS
     m = jnp.asarray(masses, state.velocities.dtype)[:, None]
     v_half = state.velocities + 0.5 * dt * state.forces / m
     x = state.positions + dt * v_half
-    energy, f_new = potential(x)
+    energy, f_new, aux = potential(x, state.aux)
     v = v_half + 0.5 * dt * f_new / m
     return MDState(
         positions=x, velocities=v, forces=f_new, energy=energy,
-        key=state.key, step=state.step + 1,
+        key=state.key, step=state.step + 1, aux=aux,
     )
 
 
@@ -138,9 +154,9 @@ def berendsen_step(potential, dt_fs: float, temp_K: float, taut_fs: float,
     v = state.velocities * lam
     v_half = v + 0.5 * dt * state.forces / m
     x = state.positions + dt * v_half
-    energy, f_new = potential(x)
+    energy, f_new, aux = potential(x, state.aux)
     v = v_half + 0.5 * dt * f_new / m
     return MDState(
         positions=x, velocities=v, forces=f_new, energy=energy,
-        key=state.key, step=state.step + 1,
+        key=state.key, step=state.step + 1, aux=aux,
     )

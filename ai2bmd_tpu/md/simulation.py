@@ -71,6 +71,8 @@ class Simulator:
         log_dir: str,
         prot_name: str,
         hbond_restraint: BondRestraint | None = None,
+        stateful: bool = False,
+        init_aux=(),
     ):
         self.cfg = cfg
         self.masses = jnp.asarray(masses, jnp.float32)
@@ -82,11 +84,14 @@ class Simulator:
         self.coeffs = L.LangevinCoeffs.build(
             self.masses, cfg.timestep_fs, cfg.temp_K, cfg.friction_per_fs
         )
-        self._base_potential = potential
+        self._base_potential = (
+            potential if stateful else L.lift_potential(potential)
+        )
+        self._init_aux = init_aux
         self._hbond = hbond_restraint
 
-        def full_potential(P, tether_ref, tether_k):
-            e, f = potential(P)
+        def full_potential(P, aux, tether_ref, tether_k):
+            e, f, aux = self._base_potential(P, aux)
             # pre-eq tether (k=0 disables; kept dynamic so one program
             # serves every ladder stage and the production run)
             d = P - tether_ref
@@ -95,12 +100,12 @@ class Simulator:
             if self._hbond is not None:
                 er, gr = jax.value_and_grad(self._hbond.energy)(P)
                 e, f = e + er, f - gr
-            return e, f
+            return e, f, aux
 
         def chunk(state: L.MDState, tether_ref, tether_k, n_steps: int):
             def body(s, _):
                 s = L.langevin_step(
-                    lambda P: full_potential(P, tether_ref, tether_k),
+                    lambda P, aux: full_potential(P, aux, tether_ref, tether_k),
                     self.coeffs,
                     self.masses,
                     s,
@@ -118,30 +123,37 @@ class Simulator:
     def initial_state(self, positions: np.ndarray, restart: str | None = None):
         if restart:
             pos, vel, step, key = traj_io.load_restart(restart)
+            P = jnp.asarray(pos, jnp.float32)
+            forces, aux = self._first_forces(P)
             return L.MDState(
-                positions=jnp.asarray(pos, jnp.float32),
+                positions=P,
                 velocities=jnp.asarray(vel, jnp.float32),
-                forces=self._first_forces(jnp.asarray(pos, jnp.float32)),
+                forces=forces,
                 energy=jnp.asarray(0.0),
                 key=jnp.asarray(key, jnp.uint32),
                 step=jnp.asarray(step, jnp.int32),
+                aux=aux,
             )
         key = jax.random.PRNGKey(self.cfg.seed)
         key, k_init = jax.random.split(key)
         P = jnp.asarray(positions, jnp.float32)
         vel = L.maxwell_boltzmann_velocities(k_init, self.masses, self.cfg.temp_K)
+        forces, aux = self._first_forces(P)
         return L.MDState(
             positions=P,
             velocities=vel,
-            forces=self._first_forces(P),
+            forces=forces,
             energy=jnp.asarray(0.0),
             key=key,
             step=jnp.asarray(0, jnp.int32),
+            aux=aux,
         )
 
     def _first_forces(self, P):
-        _, f = jax.jit(self._base_potential)(P)
-        return f
+        _, f, aux = jax.jit(lambda p, a: self._base_potential(p, a))(
+            P, self._init_aux
+        )
+        return f, aux
 
     # ------------------------------------------------------------------
     def pre_equilibrate(self, state: L.MDState, log=print) -> L.MDState:

@@ -139,7 +139,7 @@ class EnsembleSimulation:
             def one_replica(s):
                 def body(s, _):
                     s = L.langevin_step(
-                        lambda Prep: local_potential(Prep, row, ace),
+                        L.lift_potential(lambda Prep: local_potential(Prep, row, ace)),
                         coeffs, masses, s,
                     )
                     return s, None
@@ -156,6 +156,7 @@ class EnsembleSimulation:
             energy=P("dp"),
             key=P("dp", None),
             step=P("dp"),
+            aux=(),
         )
         row_spec = {k: P("mp", *(None,) * (np.ndim(v) - 1)) for k, v in row_sh.items()}
         ace_spec = {k: P("mp", *(None,) * (np.ndim(v) - 1)) for k, v in ace_sh.items()}
@@ -203,7 +204,7 @@ class EnsembleSimulation:
         spec = L.MDState(
             positions=P("dp", None, None), velocities=P("dp", None, None),
             forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
-            step=P("dp"),
+            step=P("dp"), aux=(),
         )
         return jax.device_put(
             state,

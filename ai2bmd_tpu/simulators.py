@@ -50,6 +50,8 @@ class ProteinSimulation:
     log_dir: str
     prot_name: str
 
+    record_subset: object = None
+
     @classmethod
     def from_pdb(
         cls,
@@ -57,6 +59,8 @@ class ProteinSimulation:
         log_dir: str | None = None,
         mode: str = "fragment",          # fragment | visnet
         longrange: str = "mm",           # mm | pme
+        solvent: bool | None = None,     # None = auto-detect waters
+        write_solvent: bool = True,
         ckpt_path: str | None = None,
         model_cfg: V.ViSNetConfig | None = None,
         sim_cfg: SimulationConfig | None = None,
@@ -65,8 +69,17 @@ class ProteinSimulation:
         prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
         log_dir = log_dir or os.path.join(os.getcwd(), f"Logs-{prot_name}")
         atoms = normalize_atom_order(read_pdb(prot_file))
-        prot = Protein.from_atoms(atoms)
+        full = Protein.from_atoms(atoms)
         sim_cfg = sim_cfg or SimulationConfig()
+
+        qm_idx = full.protein_indices()
+        has_solvent = len(qm_idx) < len(full)
+        if solvent is None:
+            solvent = has_solvent
+        if solvent and not has_solvent:
+            raise ValueError("solvent=True but the input has no water/ions")
+
+        prot = full.select(qm_idx) if has_solvent else full
 
         params, cfg = load_model(ckpt_path, model_cfg)
         if mode == "fragment":
@@ -81,6 +94,30 @@ class ProteinSimulation:
         hbond = None
         if sim_cfg.hydrogen_constraints:
             hbond = BondRestraint.find_hydrogen_bonds(prot.atoms)
+
+        record_subset = None
+        if solvent:
+            # SolventSimulator path: subtractive QM/MM over the full box
+            from ai2bmd_tpu.physics.qmmm import QMMMPotential
+            import jax.numpy as jnp
+
+            qmmm = QMMMPotential.build(atoms, pot.energy_forces)
+            init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
+            sim = Simulator(
+                potential=qmmm,
+                masses=full.masses,
+                numbers=full.numbers,
+                cfg=sim_cfg,
+                log_dir=log_dir,
+                prot_name=prot_name,
+                hbond_restraint=hbond,
+                stateful=True,
+                init_aux=init_aux,
+            )
+            if not write_solvent:
+                record_subset = qm_idx
+            return cls(prot=full, sim=sim, potential=qmmm, log_dir=log_dir,
+                       prot_name=prot_name, record_subset=record_subset)
 
         sim = Simulator(
             potential=pot.energy_forces,
@@ -112,6 +149,8 @@ class ProteinSimulation:
             ("Re-start" if restart else "Start")
             + f" simulation for {simulation_steps} steps"
         )
-        state = self.sim.run(state, simulation_steps, log=log)
+        state = self.sim.run(
+            state, simulation_steps, log=log, record_subset=self.record_subset
+        )
         log("Simulation finished!")
         return state

@@ -42,13 +42,13 @@ def _grid_cluster(n_side=3, spacing=3.4):
 
 
 def test_nve_energy_conservation():
-    pot = _lj_potential()
+    pot = L.lift_potential(_lj_potential())
     P = _grid_cluster()
     n = P.shape[0]
     masses = np.full(n, 39.95)  # argon
     key = jax.random.PRNGKey(0)
     vel = L.maxwell_boltzmann_velocities(key, masses, 30.0)
-    e0, f0 = pot(P)
+    e0, f0, _ = pot(P, ())
     state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0))
 
     @jax.jit
@@ -66,14 +66,14 @@ def test_nve_energy_conservation():
 
 
 def test_langevin_thermalizes():
-    pot = _lj_potential()
+    pot = L.lift_potential(_lj_potential())
     P = _grid_cluster()
     n = P.shape[0]
     masses = np.full(n, 39.95)
     target = 40.0
     coeffs = L.LangevinCoeffs.build(masses, 2.0, target, 0.02)
     key = jax.random.PRNGKey(1)
-    e0, f0 = pot(P)
+    e0, f0, _ = pot(P, ())
     state = L.MDState(P, jnp.zeros_like(P), f0, e0, key, jnp.asarray(0))
 
     @jax.jit
@@ -90,11 +90,11 @@ def test_langevin_thermalizes():
 
 
 def test_langevin_fixes_com():
-    pot = _lj_potential()
+    pot = L.lift_potential(_lj_potential())
     P = _grid_cluster()
     masses = np.full(P.shape[0], 39.95)
     coeffs = L.LangevinCoeffs.build(masses, 1.0, 300.0, 0.01)
-    e0, f0 = pot(P)
+    e0, f0, _ = pot(P, ())
     state = L.MDState(P, jnp.zeros_like(P), f0, e0, jax.random.PRNGKey(2), jnp.asarray(0))
 
     @jax.jit

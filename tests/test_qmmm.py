@@ -1,0 +1,61 @@
+"""Subtractive QM/MM on the solvated Chignolin box (SolventSimulator
+equivalent; reference src/Calculators/qmmm.py + simulator.py:226-292)."""
+
+import numpy as np
+import pytest
+
+import conftest
+from ai2bmd_tpu.md.simulation import SimulationConfig
+from ai2bmd_tpu.models.visnet import ViSNetConfig
+from ai2bmd_tpu.simulators import ProteinSimulation
+
+TINY = ViSNetConfig(hidden_channels=16, num_heads=2, num_layers=2, num_rbf=4)
+
+
+def test_solvated_qmmm_step(tmp_path):
+    conftest.require_examples()
+    sim = ProteinSimulation.from_pdb(
+        conftest.example_pdb("chig-preeq"),
+        log_dir=str(tmp_path),
+        model_cfg=TINY,
+        sim_cfg=SimulationConfig(
+            record_per_steps=2, preeq_steps=0, runaway_factor=3.0,
+            write_xyz=False, write_dcd=True,
+        ),
+        write_solvent=False,
+        opt_iters=2,
+    )
+    assert len(sim.prot) == 17882
+    logs = []
+    state = sim.simulate(2, log=logs.append)
+    pos = np.asarray(state.positions)
+    assert np.all(np.isfinite(pos))
+    # pre-equilibrated box must stay near 300 K for a couple of steps
+    step_lines = [l for l in logs if "T = " in l]
+    temp = float(step_lines[-1].split("T = ")[1].split("K")[0])
+    assert 200.0 < temp < 450.0, temp
+    # protein-only recording (write_solvent=False)
+    from ai2bmd_tpu.io.trajectory import read_dcd
+
+    frames = read_dcd(str(tmp_path / "chig-preeq-traj.dcd"))
+    assert frames.shape[1] == 175
+
+
+def test_subsystem_topology_consistency():
+    conftest.require_examples()
+    from ai2bmd_tpu.data.protein_topology import build_topology
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.physics.qmmm import _subsystem_topology
+
+    atoms = read_pdb(conftest.example_pdb("chig-preeq"))
+    top = build_topology(atoms)
+    sub = _subsystem_topology(top, top.protein_atoms)
+    # protein-only topology from the full box must match a direct build on
+    # the nowat file
+    nowat = build_topology(read_pdb(conftest.example_pdb("chig-preeq-nowat")))
+    assert sub.n_atoms == nowat.n_atoms
+    assert len(sub.bonds) == len(nowat.bonds)
+    assert len(sub.angles) == len(nowat.angles)
+    assert len(sub.dihedrals) == len(nowat.dihedrals)
+    assert len(sub.excl_pairs) == len(nowat.excl_pairs)
+    np.testing.assert_allclose(sub.charges, nowat.charges, atol=1e-6)
