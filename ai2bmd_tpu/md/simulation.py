@@ -186,21 +186,31 @@ class Simulator:
         writers = []
         subset = record_subset
         numbers = self.numbers if subset is None else self.numbers[subset]
-        if cfg.write_xyz:
-            writers.append(
-                traj_io.XYZTrajectory(
-                    os.path.join(self.log_dir, f"{self.prot_name}-traj.xyz"), numbers
+        xyz_path = os.path.join(self.log_dir, f"{self.prot_name}-traj.xyz")
+        dcd_path = os.path.join(self.log_dir, f"{self.prot_name}-traj.dcd")
+        if cfg.write_xyz or cfg.write_dcd:
+            try:
+                # native background-thread writer (C++ runtime); file IO
+                # fully overlaps the next chunk's device compute
+                from ai2bmd_tpu.runtime import AsyncTrajectoryWriter
+
+                writers.append(
+                    AsyncTrajectoryWriter(
+                        dcd_path if cfg.write_dcd else None,
+                        xyz_path if cfg.write_xyz else None,
+                        numbers, cfg.timestep_fs, cfg.record_per_steps,
+                    )
                 )
-            )
-        if cfg.write_dcd:
-            writers.append(
-                traj_io.DCDTrajectory(
-                    os.path.join(self.log_dir, f"{self.prot_name}-traj.dcd"),
-                    len(numbers),
-                    cfg.timestep_fs,
-                    cfg.record_per_steps,
-                )
-            )
+            except (RuntimeError, OSError):
+                if cfg.write_xyz:
+                    writers.append(traj_io.XYZTrajectory(xyz_path, numbers))
+                if cfg.write_dcd:
+                    writers.append(
+                        traj_io.DCDTrajectory(
+                            dcd_path, len(numbers), cfg.timestep_fs,
+                            cfg.record_per_steps,
+                        )
+                    )
 
         zero_ref = state.positions
         zero_k = jnp.asarray(0.0, jnp.float32)

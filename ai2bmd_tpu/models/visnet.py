@@ -55,6 +55,15 @@ class ViSNetConfig:
     reduce_op: str = "add"
     trainable_rbf: bool = False
     dtype: Any = jnp.float32
+    # performance knobs (numerics-preserving unless stated)
+    remat: bool = True          # rematerialize MP layers in the backward pass
+    exact_rejection: bool = False
+    # exact_rejection=True evaluates the vector-rejection edge update with
+    # the full |d|^2-dependent correction term.  For unit spherical-harmonic
+    # features |d_sh|^2 == 2 identically (l=1 and l=2 parts are each
+    # unit-norm), so the correction a_ij*b_ij*(|d|^2-2) vanishes to float
+    # rounding (~1e-6 relative); the default skips those two O(B*A^2*H)
+    # contractions per layer.
 
     @property
     def n_sphere(self) -> int:
@@ -293,11 +302,22 @@ def vis_mp_layer(lp, x, vec, adj, dist, edge_attr, d_sh, cfg: ViSNetConfig, last
     x = layer_norm(lp["layernorm"], x)
     vec = vec_layer_norm(lp["vec_layernorm"], vec, cfg.vecnorm_type, cfg.lmax)
 
-    q = _linear(lp["q_proj"], x).reshape(B, A, nh, dh)
-    k = _linear(lp["k_proj"], x).reshape(B, A, nh, dh)
-    v = _linear(lp["v_proj"], x).reshape(B, A, nh, dh)
-    dk = act(_linear(lp["dk_proj"], edge_attr)).reshape(B, A, A, nh, dh)
-    dv = act(_linear(lp["dv_proj"], edge_attr)).reshape(B, A, A, nh, dh)
+    # fused projections: q/k/v share the input, dk/dv share the edge input
+    w_qkv = jnp.concatenate(
+        [lp["q_proj"]["w"], lp["k_proj"]["w"], lp["v_proj"]["w"]], axis=1
+    )
+    b_qkv = jnp.concatenate(
+        [lp["q_proj"]["b"], lp["k_proj"]["b"], lp["v_proj"]["b"]]
+    )
+    q, k, v = jnp.split(x @ w_qkv + b_qkv, 3, axis=-1)
+    q = q.reshape(B, A, nh, dh)
+    k = k.reshape(B, A, nh, dh)
+    v = v.reshape(B, A, nh, dh)
+    w_dkv = jnp.concatenate([lp["dk_proj"]["w"], lp["dv_proj"]["w"]], axis=1)
+    b_dkv = jnp.concatenate([lp["dk_proj"]["b"], lp["dv_proj"]["b"]])
+    dk, dv = jnp.split(act(edge_attr @ w_dkv + b_dkv), 2, axis=-1)
+    dk = dk.reshape(B, A, A, nh, dh)
+    dv = dv.reshape(B, A, A, nh, dh)
 
     vec123 = _linear(lp["vec_proj"], vec)              # [B,A,S,3H]
     vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
@@ -336,13 +356,16 @@ def vis_mp_layer(lp, x, vec, adj, dist, edge_attr, d_sh, cfg: ViSNetConfig, last
     # w1 = reject(Wt vec_i, d), w2 = reject(Ws vec_j, -d); both rejections are
     # along d, so  w1.w2 = S_ij + a_ij b_ij (|d|^2 - 2)  with
     # S = <Wt vec_i, Ws vec_j>_c, a = <Wt vec_i, d>, b = <Ws vec_j, d>.
+    # |d_sh|^2 == 2 identically for real edges (and a=b=0 on self loops),
+    # so the correction vanishes; see ViSNetConfig.exact_rejection.
     wt = _linear(lp["w_trg_proj"], vec)                # [B,A,S,H]
     ws = _linear(lp["w_src_proj"], vec)
-    S_ij = jnp.einsum("bich,bjch->bijh", wt, ws)
-    a_ij = jnp.einsum("bich,bijc->bijh", wt, d_sh)
-    b_ij = jnp.einsum("bjch,bijc->bijh", ws, d_sh)
-    n2 = jnp.sum(d_sh * d_sh, axis=-1)[..., None]      # [B,A,A,1]
-    w_dot = S_ij + a_ij * b_ij * (n2 - 2.0)
+    w_dot = jnp.einsum("bich,bjch->bijh", wt, ws)
+    if cfg.exact_rejection:
+        a_ij = jnp.einsum("bich,bijc->bijh", wt, d_sh)
+        b_ij = jnp.einsum("bjch,bijc->bijh", ws, d_sh)
+        n2 = jnp.sum(d_sh * d_sh, axis=-1)[..., None]  # [B,A,A,1]
+        w_dot = w_dot + a_ij * b_ij * (n2 - 2.0)
     df = act(_linear(lp["f_proj"], edge_attr)) * w_dot
     df = df * adj_f[..., None]
     return dx, dvec, df
@@ -391,7 +414,9 @@ def representation(params, z, pos, mask, cfg: ViSNetConfig):
                 edge_attr = edge_attr + df
             return x, vec, edge_attr
 
-        x, vec, edge_attr = jax.checkpoint(_block)((x, vec, edge_attr))
+        if cfg.remat:
+            _block = jax.checkpoint(_block)
+        x, vec, edge_attr = _block((x, vec, edge_attr))
 
     x = layer_norm(params["out_norm"], x)
     vec = vec_layer_norm(params["vec_out_norm"], vec, cfg.vecnorm_type, cfg.lmax)
