@@ -116,6 +116,15 @@ def main(argv=None) -> int:
     log_dir = args.log_dir or os.path.join(args.base_dir, f"Logs-{prot_name}")
     os.makedirs(log_dir, exist_ok=True)
 
+    # tee all output into a timestamped logfile (reference main.py:27-28)
+    from ai2bmd_tpu.utils.logging_utils import tee_output
+
+    tee_output(log_dir, prot_name)
+    # opt-in hang debugging: kill -USR2 <pid> dumps all thread stacks
+    from ai2bmd_tpu.utils.signals import register_print_stack_on_sigusr2
+
+    register_print_stack_on_sigusr2(out_dir=log_dir)
+
     ckpt = args.ckpt_path
     if ckpt and args.ckpt_type:
         ckpt = os.path.join(ckpt, f"visnet-uni-{args.ckpt_type}.ckpt")

@@ -212,10 +212,16 @@ class Simulator:
                         )
                     )
 
+        from ai2bmd_tpu.utils.logging_utils import MetricsLog
+
+        metrics = MetricsLog(
+            os.path.join(self.log_dir, f"{self.prot_name}-metrics.csv")
+        )
         zero_ref = state.positions
         zero_k = jnp.asarray(0.0, jnp.float32)
         remaining = n_steps
         t_start = time.perf_counter()
+        t_last = t_start
         try:
             while remaining > 0:
                 n = min(cfg.record_per_steps, remaining)
@@ -224,12 +230,23 @@ class Simulator:
                 # host readback of the recorded frame
                 epot = float(state.energy)
                 ekin = float(self._ekin(state.velocities))
+                if not np.isfinite(epot) or not np.isfinite(ekin):
+                    raise FloatingPointError(
+                        f"non-finite energy at step {int(state.step)} "
+                        f"(Epot={epot}, Ekin={ekin}); restart from the last "
+                        f"checkpoint with a smaller timestep"
+                    )
+                self._check_overflow(state)
                 temp = self._check_runaway(state)
                 step = int(state.step)
+                now = time.perf_counter()
+                ms_per_step = 1e3 * (now - t_last) / n
+                t_last = now
                 log(
                     f"Step {step}: Epot = {epot:.3f}eV Ekin = {ekin:.3f}eV "
                     f"Etot = {epot + ekin:.3f}eV T = {temp:.1f}K"
                 )
+                metrics.write(step, epot, ekin, temp, ms_per_step)
                 pos = np.asarray(state.positions)
                 if subset is not None:
                     pos = pos[subset]
@@ -243,6 +260,7 @@ class Simulator:
                     state.key,
                 )
         finally:
+            metrics.close()
             for w in writers:
                 w.close()
         dt_wall = time.perf_counter() - t_start
@@ -259,3 +277,14 @@ class Simulator:
         if temp > self.cfg.runaway_factor * self.cfg.temp_K:
             raise TemperatureRunawayError(temp)
         return temp
+
+    def _check_overflow(self, state):
+        """Neighbor-list overflow surfaced from the aux carry (solvated
+        runs): an overflowed list silently drops interactions."""
+        aux = state.aux
+        overflow = getattr(aux, "overflow", None)
+        if overflow is not None and bool(overflow):
+            raise RuntimeError(
+                "neighbor list overflow: increase k_neighbors (some atoms "
+                "have more neighbors than the list capacity)"
+            )
