@@ -56,7 +56,14 @@ class ViSNetConfig:
     trainable_rbf: bool = False
     dtype: Any = jnp.float32
     # performance knobs (numerics-preserving unless stated)
-    remat: bool = True          # rematerialize MP layers in the backward pass
+    remat: bool = False         # rematerialize MP layers in the backward pass
+    #                             (enable for very large fragment batches;
+    #                             off is ~25% faster and all bundled
+    #                             workloads fit comfortably in HBM)
+    edge_dtype: Any = None      # e.g. jnp.bfloat16: store/compute the O(A^2)
+    #                             edge tensors in half precision (geometry,
+    #                             node features, reductions stay f32);
+    #                             ~2x HBM traffic cut, forces shift ~1e-3
     exact_rejection: bool = False
     # exact_rejection=True evaluates the vector-rejection edge update with
     # the full |d|^2-dependent correction term.  For unit spherical-harmonic
