@@ -86,7 +86,7 @@ class QMMMPotential:
         cutoff: float = 9.0,
         beta: float = 0.35,
         grid_spacing: float = 1.0,
-        k_neighbors: int = 384,
+        k_neighbors: int = 640,
         skin: float = 1.5,
     ) -> "QMMMPotential":
         if atoms.cell is None:

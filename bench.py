@@ -74,7 +74,7 @@ def main():
             assert np.all(np.isfinite(np.asarray(state.positions)))
             results[label] = per_step
 
-    ns_day = 86.4 * sim_cfg.timestep_fs / results["f32"] / 1e6
+    ns_day = 86.4 * sim_cfg.timestep_fs / results["f32"] / 1e3
     print(
         json.dumps(
             {
@@ -85,7 +85,7 @@ def main():
                 "vs_baseline": round(ns_day / BASELINE_NS_DAY, 3),
                 "ms_per_step_f32": round(1e3 * results["f32"], 3),
                 "ms_per_step_bf16": round(1e3 * results["bf16"], 3),
-                "ns_day_bf16": round(86.4 / results["bf16"] / 1e6, 3),
+                "ns_day_bf16": round(86.4 / results["bf16"] / 1e3, 3),
             }
         )
     )
