@@ -250,6 +250,60 @@ class Preprocessor:
             f"E = {float(state.energy):.2f} eV"
         )
 
+        # --- stage 4 (optional): Berendsen-barostat NPT with dynamic-cell
+        # PME (the reference's final sander NPT stage, preprocess.py:435-479)
+        cell = jnp.asarray(box.cell, jnp.float32)
+        if self.npt_steps > 0:
+            taup_fs = 500.0
+            compressibility = 4.6e-5 / 1.01325  # water, 1/bar -> 1/atm-ish
+            bar_in_ev_a3 = 1e5 * 1e-30 / 1.602176634e-19  # eV/A^3 per bar
+
+            @jax.jit
+            def npt_chunk(state, cell):
+                def body(carry, _):
+                    s, cell = carry
+
+                    def pot_cell(p, aux):
+                        nlx = jax.lax.cond(
+                            NL.needs_rebuild(aux, p, skin, cell),
+                            lambda: NL.build_neighbor_list(
+                                p, self.cutoff + skin, k_nb, cell
+                            ),
+                            lambda: aux,
+                        )
+                        e, g = jax.value_and_grad(
+                            lambda q: MM.mm_energy(mm, q, nlx, cell)
+                        )(p)
+                        return e, -g, nlx
+
+                    s = L.langevin_step(
+                        pot_cell,
+                        L.LangevinCoeffs.build(masses, 1.0, self.target_temp, 0.002),
+                        masses, s,
+                    )
+                    ekin = L.kinetic_energy(masses, s.velocities)
+                    pres = MM.mm_pressure(mm, s.positions, s.aux, cell, ekin)
+                    pres_bar = pres / bar_in_ev_a3
+                    lam = (
+                        1.0
+                        - compressibility * (1.0 / taup_fs) * (1.0 - pres_bar)
+                    ) ** (1.0 / 3.0)
+                    s = dataclasses.replace(s, positions=s.positions * lam)
+                    return (s, cell * lam), pres_bar
+
+                (state, cell), pres = jax.lax.scan(
+                    body, (state, cell), None, length=self.npt_steps
+                )
+                return state, cell, pres
+
+            log(f"NPT equilibration ({self.npt_steps} steps)")
+            state, cell, pres = npt_chunk(state, cell)
+            log(
+                f"  cell = {np.round(np.asarray(cell), 2)}, "
+                f"P = {float(np.asarray(pres)[-20:].mean()):.1f} bar"
+            )
+            box.cell = np.asarray(cell, np.float64)
+
         # --- outputs ---
         final = np.asarray(state.positions)
         write_pdb(preeq, box, positions=final)

@@ -10,9 +10,15 @@ LBFGS cap optimization (<=10 closure evaluations with device syncs), >=4
 host<->device transfers, and python/ASE orchestration — estimated at
 25 ms/step => 3.5 ns/day at 1 fs.  vs_baseline = ours_ns_day / 3.5.
 
-The production numerics mode is float32 (matmul precision 'highest'): the
-bf16 path is ~1.35x faster but shifts forces by a few 1e-3 eV/A, above the
-1e-3 fidelity bar; its throughput is reported as a secondary key.
+Methodology: a single jitted lax.scan of STEPS Langevin steps runs
+entirely on device; we time repeat invocations, take the fastest, and
+subtract the measured null-dispatch round trip (the dev tunnel to the TPU
+has high and variable per-call latency, so per-step cost must be amortized
+inside one program).
+
+The production numerics mode is float32 (matmul precision 'highest'); the
+bf16 path is faster but shifts forces by a few 1e-3 eV/A — above the 1e-3
+fidelity bar — and is reported as a secondary key.
 """
 
 import json
@@ -21,21 +27,8 @@ import sys
 import time
 
 BASELINE_NS_DAY = 3.5
-STEPS_PER_CALL = 25
-N_CALLS = 8
-
-
-def _measure(sim_chunk, state, zeros, steps, calls):
-    import jax
-
-    state = sim_chunk(state, zeros[0], zeros[1], steps)   # warmup/compile
-    jax.block_until_ready(state.positions)
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state = sim_chunk(state, zeros[0], zeros[1], steps)
-    jax.block_until_ready(state.positions)
-    dt = time.perf_counter() - t0
-    return state, dt / (calls * steps)
+STEPS = 200
+REPEATS = 3
 
 
 def main():
@@ -45,36 +38,58 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _chig_protein
-    from ai2bmd_tpu.md.simulation import SimulationConfig, Simulator
+    from ai2bmd_tpu.md import langevin as L
     from ai2bmd_tpu.models import visnet as V
     from ai2bmd_tpu.potentials import FragmentPotential
 
     prot = _chig_protein()
     cfg = V.ViSNetConfig()  # production config: 9 layers x 256
-    params = V.init_params(jax.random.PRNGKey(0), cfg)
 
-    sim_cfg = SimulationConfig(
-        timestep_fs=1.0, temp_K=300.0, record_per_steps=STEPS_PER_CALL,
-        preeq_steps=0, runaway_factor=1e9, write_xyz=False, write_dcd=False,
+    # init params host-side (one transfer instead of hundreds of tiny ones)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params_host = V.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params_host, jax.devices()[0])
+
+    # null-dispatch round trip estimate
+    trivial = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(8)
+    trivial(x).block_until_ready()
+    null_rt = min(
+        _timed(lambda: trivial(x).block_until_ready()) for _ in range(5)
     )
 
     results = {}
     for label, precision in (("f32", "float32"), ("bf16", "bfloat16")):
         with jax.default_matmul_precision(precision):
             pot = FragmentPotential.build(prot, params, cfg, longrange="mm")
-            sim = Simulator(
-                pot.energy_forces, prot.masses, prot.numbers, sim_cfg,
-                log_dir="/tmp/ai2bmd_bench", prot_name="chig",
-            )
-            state = sim.initial_state(prot.positions)
-            zeros = (state.positions, jnp.asarray(0.0))
-            state, per_step = _measure(
-                sim._chunk, state, zeros, STEPS_PER_CALL, N_CALLS
-            )
+            coeffs = L.LangevinCoeffs.build(prot.masses, 1.0, 300.0, 0.001)
+            lifted = L.lift_potential(pot.energy_forces)
+
+            @jax.jit
+            def chunk(state):
+                def body(s, _):
+                    return L.langevin_step(lifted, coeffs, prot.masses, s), None
+
+                return jax.lax.scan(body, state, None, length=STEPS)[0]
+
+            P = jnp.asarray(prot.positions, jnp.float32)
+            key = jax.random.PRNGKey(0)
+            vel = L.maxwell_boltzmann_velocities(key, prot.masses, 300.0)
+            e0, f0 = jax.jit(pot.energy_forces)(P)
+            state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0))
+
+            state = chunk(state)                      # compile + run
+            jax.block_until_ready(state.positions)
+            times = []
+            for _ in range(REPEATS):
+                t = _timed(lambda: jax.block_until_ready(chunk(state).positions))
+                times.append(t)
+            per_step = (min(times) - null_rt) / STEPS
             assert np.all(np.isfinite(np.asarray(state.positions)))
             results[label] = per_step
 
-    ns_day = 86.4 * sim_cfg.timestep_fs / results["f32"] / 1e3
+    ns_day = 86.4 / results["f32"] / 1e3
     print(
         json.dumps(
             {
@@ -86,9 +101,16 @@ def main():
                 "ms_per_step_f32": round(1e3 * results["f32"], 3),
                 "ms_per_step_bf16": round(1e3 * results["bf16"], 3),
                 "ns_day_bf16": round(86.4 / results["bf16"] / 1e3, 3),
+                "dispatch_roundtrip_ms": round(1e3 * null_rt, 2),
             }
         )
     )
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
