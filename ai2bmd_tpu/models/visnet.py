@@ -414,7 +414,22 @@ def representation(params, z, pos, mask, cfg: ViSNetConfig):
 
         def _block(carry, lp=lp, last=last):
             x, vec, edge_attr = carry
-            dx, dvec, df = vis_mp_layer(lp, x, vec, adj, dist, edge_attr, d_sh, cfg, last)
+            if cfg.edge_dtype is not None:
+                # mixed precision: layer compute in edge_dtype, residual
+                # stream stays f32 (standard transformer recipe)
+                ed = cfg.edge_dtype
+                lp_c = jax.tree.map(lambda a: a.astype(ed), lp)
+                dx, dvec, df = vis_mp_layer(
+                    lp_c, x.astype(ed), vec.astype(ed), adj, dist.astype(ed),
+                    edge_attr.astype(ed), d_sh.astype(ed), cfg, last,
+                )
+                dx = dx.astype(x.dtype)
+                dvec = dvec.astype(vec.dtype)
+                df = None if df is None else df.astype(edge_attr.dtype)
+            else:
+                dx, dvec, df = vis_mp_layer(
+                    lp, x, vec, adj, dist, edge_attr, d_sh, cfg, last
+                )
             x = x + dx
             vec = vec + dvec
             if df is not None:
