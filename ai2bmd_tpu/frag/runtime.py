@@ -208,6 +208,12 @@ def fragment_energy_forces(
         H.optimize_caps(rt.ht, pos, n_iter=rt.static.opt_iters)
     )
 
+    return _fragment_terms(params, rt, pos, cfg)
+
+
+def _fragment_terms(params, rt: FragmentRuntime, pos, cfg):
+    """ViSNet over both fragment families + stitching, given optimized rows."""
+    N = rt.static.n_atoms
     e_d, f_d = V.energy_and_forces(params, rt.row_z, pos, rt.valid, cfg)
 
     # ACE-NME views (first/last 6 template slots of consecutive dipeptides)
@@ -224,3 +230,31 @@ def fragment_energy_forces(
     flat_dst = jnp.concatenate([rt.dip_dst.reshape(-1), rt.ace_dst16.reshape(-1)])
     forces = jax.ops.segment_sum(flat_src, flat_dst, num_segments=N + 1)[:N]
     return energy, forces
+
+
+def fragment_energy_forces_warm(
+    params: dict,
+    rt: FragmentRuntime,
+    P: jnp.ndarray,
+    cfg: V.ViSNetConfig,
+    cap_delta: jnp.ndarray,
+    warm_iters: int = 4,
+):
+    """Warm-started variant: cap hydrogens start from the previous step's
+    optimized offsets (relative to the geometric placement), so a few
+    L-BFGS iterations reach the same quality as a cold 10-iteration solve
+    (positions move <0.05 A per 1 fs step).  Returns (E, F, new_delta)."""
+    free = rt.is_cap[..., None]
+    pos_geo = build_row_positions(rt, P)
+    pos0 = pos_geo + jnp.where(free, cap_delta, 0.0)
+    pos = jax.lax.stop_gradient(H.optimize_caps(rt.ht, pos0, n_iter=warm_iters))
+    new_delta = jnp.where(free, pos - pos_geo, 0.0)
+    energy, forces = _fragment_terms(params, rt, pos, cfg)
+    return energy, forces, new_delta
+
+
+def initial_cap_delta(rt: FragmentRuntime, P: jnp.ndarray, n_iter: int = 10):
+    """Cold-start offsets for the warm path (full optimization once)."""
+    pos_geo = build_row_positions(rt, P)
+    pos = H.optimize_caps(rt.ht, pos_geo, n_iter=n_iter)
+    return jnp.where(rt.is_cap[..., None], pos - pos_geo, 0.0)

@@ -281,10 +281,14 @@ class Simulator:
     def _check_overflow(self, state):
         """Neighbor-list overflow surfaced from the aux carry (solvated
         runs): an overflowed list silently drops interactions."""
-        aux = state.aux
-        overflow = getattr(aux, "overflow", None)
-        if overflow is not None and bool(overflow):
-            raise RuntimeError(
-                "neighbor list overflow: increase k_neighbors (some atoms "
-                "have more neighbors than the list capacity)"
-            )
+        from ai2bmd_tpu.ops.neighbors import NeighborList
+
+        lists = jax.tree.leaves(
+            state.aux, is_leaf=lambda x: isinstance(x, NeighborList)
+        )
+        for nl in lists:
+            if isinstance(nl, NeighborList) and bool(nl.overflow):
+                raise RuntimeError(
+                    "neighbor list overflow: increase k_neighbors (some atoms "
+                    "have more neighbors than the list capacity)"
+                )

@@ -67,11 +67,17 @@ def _subsystem_topology(top: SystemTopology, idx: np.ndarray) -> SystemTopology:
 
 @dataclasses.dataclass
 class QMMMPotential:
-    """Stateful potential: (P_full, aux) -> (E, F_full, aux)."""
+    """Stateful potential: (P_full, aux) -> (E, F_full, aux).
+
+    aux = (full-system neighbor list, QM-side carry).  The QM term may
+    itself be stateful (warm-started cap optimization): pass
+    qm_stateful=(P_prot, qm_aux) -> (E, F, qm_aux); a stateless
+    qm_energy_forces is lifted automatically."""
 
     mm_full: MM.MMSystem
     mm_prot: MM.MMSystem
-    qm_energy_forces: Any        # P_prot -> (E, F)
+    qm_energy_forces: Any        # (P_prot, qm_aux) -> (E, F, qm_aux)
+    qm_init_aux: Any
     sel: Any                     # [n_prot] int32 protein atom indices
     n_atoms: int
     k_neighbors: int
@@ -82,12 +88,14 @@ class QMMMPotential:
     def build(
         cls,
         atoms: PDBAtoms,
-        qm_energy_forces,
+        qm_energy_forces=None,
         cutoff: float = 9.0,
         beta: float = 0.35,
         grid_spacing: float = 1.0,
         k_neighbors: int = 640,
         skin: float = 1.5,
+        qm_stateful=None,
+        qm_init_aux=(),
     ) -> "QMMMPotential":
         if atoms.cell is None:
             raise ValueError("solvated QM/MM needs a periodic cell (CRYST1)")
@@ -100,22 +108,31 @@ class QMMMPotential:
         mm_prot = MM.MMSystem.build(
             top_prot, atoms.cell, cutoff=cutoff, beta=beta, grid_spacing=grid_spacing
         )
+        if qm_stateful is None:
+            fn = qm_energy_forces
+
+            def qm_stateful(Pq, qa):
+                e, f = fn(Pq)
+                return e, f, qa
+
         return cls(
             mm_full=mm_full, mm_prot=mm_prot,
-            qm_energy_forces=qm_energy_forces,
+            qm_energy_forces=qm_stateful,
+            qm_init_aux=qm_init_aux,
             sel=jnp.asarray(sel, jnp.int32),
             n_atoms=top.n_atoms,
             k_neighbors=k_neighbors, skin=skin, top=top,
         )
 
-    # -- aux = the full-system neighbor list ---------------------------------
+    # -- aux = (full-system neighbor list, QM carry) -------------------------
     def init_aux(self, P: jnp.ndarray):
-        return NL.build_neighbor_list(
+        nl = NL.build_neighbor_list(
             P, self.mm_full.cutoff + self.skin, self.k_neighbors, self.mm_full.cell
         )
+        return (nl, self.qm_init_aux)
 
     def __call__(self, P: jnp.ndarray, aux):
-        nl = aux
+        nl, qm_aux = aux
         nl = jax.lax.cond(
             NL.needs_rebuild(nl, P, self.skin, self.mm_full.cell),
             lambda: NL.build_neighbor_list(
@@ -135,8 +152,8 @@ class QMMMPotential:
         )
         e1, f1 = MM.mm_energy_forces(self.mm_prot, P_prot, nl_prot)
 
-        eq, fq = self.qm_energy_forces(P_prot)
+        eq, fq, qm_aux = self.qm_energy_forces(P_prot, qm_aux)
 
         energy = e2 + eq - e1
         forces = f2.at[self.sel].add(fq - f1)
-        return energy, forces, nl
+        return energy, forces, (nl, qm_aux)

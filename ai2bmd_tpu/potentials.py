@@ -61,13 +61,30 @@ class FragmentPotential:
 
     def energy_forces(self, P: jnp.ndarray):
         e_b, f_b = fragment_energy_forces(self.params, self.rt, P, self.cfg)
-        if self.nb is not None:
-            e_nb, f_nb = nonbonded_energy_forces(self.nb, P)
-        else:
-            from ai2bmd_tpu.physics.pme import pme_energy_forces
-
-            e_nb, f_nb = pme_energy_forces(self.pme, P)
+        e_nb, f_nb = self._longrange(P)
         return e_b + e_nb, f_b + f_nb
+
+    def _longrange(self, P):
+        if self.nb is not None:
+            return nonbonded_energy_forces(self.nb, P)
+        from ai2bmd_tpu.physics.pme import pme_energy_forces
+
+        return pme_energy_forces(self.pme, P)
+
+    # -- warm-started stateful variant (aux = cap offsets) -------------------
+    def init_cap_delta(self, P: jnp.ndarray):
+        from ai2bmd_tpu.frag.runtime import initial_cap_delta
+
+        return initial_cap_delta(self.rt, P)
+
+    def stateful_energy_forces(self, P: jnp.ndarray, aux, warm_iters: int = 4):
+        from ai2bmd_tpu.frag.runtime import fragment_energy_forces_warm
+
+        e_b, f_b, aux = fragment_energy_forces_warm(
+            self.params, self.rt, P, self.cfg, aux, warm_iters=warm_iters
+        )
+        e_nb, f_nb = self._longrange(P)
+        return e_b + e_nb, f_b + f_nb, aux
 
 
 @dataclasses.dataclass
