@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mm-method", type=str, default="mm-engine",
                    choices=["mm-engine", "tinker", "tinker-GPU"],
                    help="tinker options map to the in-framework MM engine")
+    p.add_argument("--polarizable-mm", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="AMOEBA-class mutual induced-dipole polarization in "
+                        "the solvent MM (fixed-iteration SOR induction)")
     p.add_argument("--mode", type=str, default="fragment",
                    choices=["fragment", "visnet"])
     p.add_argument("--fragment-longrange-calc", type=str, default="mm",
@@ -180,6 +184,7 @@ def main(argv=None) -> int:
         model_cfg=model_cfg,
         sim_cfg=sim_cfg,
         opt_iters=args.opt_iters,
+        polarizable_mm=args.polarizable_mm,
     )
     try:
         sim.simulate(args.sim_steps, restart=args.restart)

@@ -61,6 +61,7 @@ class MMSystem:
     scnb: float
     e_self: float         # eV
     e_neutral: float      # eV
+    polarization: Any = None   # optional PolarizationParams (AMOEBA-class)
 
     @classmethod
     def build(
@@ -72,6 +73,7 @@ class MMSystem:
         grid_spacing: float = 1.0,
         scee: float = 1.2,
         scnb: float = 2.0,
+        polarization=None,
     ) -> "MMSystem":
         cell = np.asarray(cell, np.float64)
         grid = tuple(max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell)
@@ -123,6 +125,7 @@ class MMSystem:
             scnb=scnb,
             e_self=e_self,
             e_neutral=e_neutral,
+            polarization=polarization,
         )
 
 
@@ -279,7 +282,14 @@ def _spread(mm: MMSystem, P, cell=None):
 
 
 def mm_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None) -> jnp.ndarray:
-    return bonded_energy(mm, P, cell) + nonbonded_nl_energy(mm, P, nl, cell)
+    e = bonded_energy(mm, P, cell) + nonbonded_nl_energy(mm, P, nl, cell)
+    if mm.polarization is not None:
+        from ai2bmd_tpu.physics.polarization import polarization_energy
+
+        e = e + polarization_energy(
+            mm.polarization, P, nl, mm.cell if cell is None else cell
+        )
+    return e
 
 
 def mm_energy_forces(mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None):

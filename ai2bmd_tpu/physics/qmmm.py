@@ -96,17 +96,33 @@ class QMMMPotential:
         skin: float = 1.5,
         qm_stateful=None,
         qm_init_aux=(),
+        polarizable: bool = False,
     ) -> "QMMMPotential":
         if atoms.cell is None:
             raise ValueError("solvated QM/MM needs a periodic cell (CRYST1)")
         top = build_topology(atoms)
         sel = top.protein_atoms
         top_prot = _subsystem_topology(top, sel)
+        pol_full = pol_prot = None
+        if polarizable:
+            # AMOEBA-class mutual induced dipoles on both MM evaluations;
+            # 1-2/1-3 pairs act as polarization-group masking
+            from ai2bmd_tpu.physics.polarization import PolarizationParams
+
+            pol_full = PolarizationParams.build(
+                atoms.numbers, top.charges, top.excl_pairs, cutoff=cutoff
+            )
+            pol_prot = PolarizationParams.build(
+                atoms.numbers[sel], top_prot.charges, top_prot.excl_pairs,
+                cutoff=cutoff,
+            )
         mm_full = MM.MMSystem.build(
-            top, atoms.cell, cutoff=cutoff, beta=beta, grid_spacing=grid_spacing
+            top, atoms.cell, cutoff=cutoff, beta=beta,
+            grid_spacing=grid_spacing, polarization=pol_full,
         )
         mm_prot = MM.MMSystem.build(
-            top_prot, atoms.cell, cutoff=cutoff, beta=beta, grid_spacing=grid_spacing
+            top_prot, atoms.cell, cutoff=cutoff, beta=beta,
+            grid_spacing=grid_spacing, polarization=pol_prot,
         )
         if qm_stateful is None:
             fn = qm_energy_forces

@@ -66,6 +66,7 @@ class ProteinSimulation:
         sim_cfg: SimulationConfig | None = None,
         opt_iters: int = 10,
         warm_caps: bool = True,
+        polarizable_mm: bool = False,
     ) -> "ProteinSimulation":
         prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
         log_dir = log_dir or os.path.join(os.getcwd(), f"Logs-{prot_name}")
@@ -117,10 +118,13 @@ class ProteinSimulation:
 
             if use_warm:
                 qmmm = QMMMPotential.build(
-                    atoms, qm_stateful=qm_stateful, qm_init_aux=qm_aux0
+                    atoms, qm_stateful=qm_stateful, qm_init_aux=qm_aux0,
+                    polarizable=polarizable_mm,
                 )
             else:
-                qmmm = QMMMPotential.build(atoms, pot.energy_forces)
+                qmmm = QMMMPotential.build(
+                    atoms, pot.energy_forces, polarizable=polarizable_mm
+                )
             init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
             sim = Simulator(
                 potential=qmmm,
