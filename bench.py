@@ -73,20 +73,22 @@ def main():
         with jax.default_matmul_precision(precision):
             pot = FragmentPotential.build(prot, params, mode_cfg, longrange="mm")
             coeffs = L.LangevinCoeffs.build(prot.masses, 1.0, 300.0, 0.001)
-            lifted = L.lift_potential(pot.energy_forces)
+            # production default: warm-started cap optimization
+            warm = lambda P, aux: pot.stateful_energy_forces(P, aux, warm_iters=4)
 
             @jax.jit
             def chunk(state):
                 def body(s, _):
-                    return L.langevin_step(lifted, coeffs, prot.masses, s), None
+                    return L.langevin_step(warm, coeffs, prot.masses, s), None
 
                 return jax.lax.scan(body, state, None, length=STEPS)[0]
 
             P = jnp.asarray(prot.positions, jnp.float32)
             key = jax.random.PRNGKey(0)
             vel = L.maxwell_boltzmann_velocities(key, prot.masses, 300.0)
-            e0, f0 = jax.jit(pot.energy_forces)(P)
-            state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0))
+            aux0 = pot.init_cap_delta(P)
+            e0, f0, aux0 = jax.jit(warm)(P, aux0)
+            state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0), aux=aux0)
 
             state = chunk(state)                      # compile + run
             jax.block_until_ready(state.positions)
