@@ -1,0 +1,123 @@
+"""Benchmark sweep over the BASELINE.json configurations.
+
+Measures single-chip MD throughput (production 9x256 ViSNet, f32,
+warm-started caps) for:
+  1. Chignolin (175 atoms) fragment-mode
+  2. Trp-cage (281)
+  3. WW domain (571)
+  4. ABD (746) — fragment-batching stress
+  5. solvated Chignolin QM/MM (17,882 atoms)
+
+Usage:  python benchmarks/run_all.py [--steps 100] [--configs chig,ww,...]
+Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLES = os.environ.get("AI2BMD_TPU_EXAMPLES", "/root/reference/examples")
+
+PROTEINS = {
+    "chig": f"{EXAMPLES}/chig.pdb",
+    "trpcage": f"{EXAMPLES}/trpcage.pdb",
+    "ww": f"{EXAMPLES}/ww.pdb",
+    "abd": f"{EXAMPLES}/abd.pdb",
+    "chig-solvated": f"{EXAMPLES}/chig_preprocessed/chig-preeq.pdb",
+}
+
+
+def bench_one(name: str, path: str, steps: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.io.reorder import normalize_atom_order
+    from ai2bmd_tpu.md import langevin as L
+    from ai2bmd_tpu.models import visnet as V
+    from ai2bmd_tpu.potentials import FragmentPotential
+    from ai2bmd_tpu.system import Protein
+
+    atoms = normalize_atom_order(read_pdb(path))
+    full = Protein.from_atoms(atoms)
+    cfg = V.ViSNetConfig()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params_h = V.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params_h, jax.devices()[0])
+
+    qm_idx = full.protein_indices()
+    solvated = len(qm_idx) < len(full)
+
+    if solvated:
+        from ai2bmd_tpu.physics.qmmm import QMMMPotential
+
+        prot = full.select(qm_idx)
+        pot = FragmentPotential.build(prot, params, cfg, longrange="mm")
+        qm_aux0 = pot.init_cap_delta(jnp.asarray(prot.positions, jnp.float32))
+        qmmm = QMMMPotential.build(
+            atoms,
+            qm_stateful=lambda Pq, qa: pot.stateful_energy_forces(Pq, qa, 4),
+            qm_init_aux=qm_aux0,
+        )
+        potential = qmmm
+        init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
+        masses, P0 = full.masses, full.positions
+    else:
+        pot = FragmentPotential.build(full, params, cfg, longrange="mm")
+        potential = lambda P, aux: pot.stateful_energy_forces(P, aux, 4)
+        init_aux = pot.init_cap_delta(jnp.asarray(full.positions, jnp.float32))
+        masses, P0 = full.masses, full.positions
+
+    coeffs = L.LangevinCoeffs.build(masses, 1.0, 300.0, 0.001)
+
+    @jax.jit
+    def chunk(state):
+        def body(s, _):
+            return L.langevin_step(potential, coeffs, masses, s), None
+
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    P = jnp.asarray(P0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    vel = L.maxwell_boltzmann_velocities(key, masses, 300.0)
+    e0, f0, aux = jax.jit(lambda p, a: potential(p, a))(P, init_aux)
+    state = L.MDState(P, vel, f0, e0, key, jnp.asarray(0), aux=aux)
+
+    t_c = time.perf_counter()
+    state = chunk(state)
+    jax.block_until_ready(state.positions)
+    compile_s = time.perf_counter() - t_c
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        state = chunk(state)
+        jax.block_until_ready(state.positions)
+        best = min(best, time.perf_counter() - t)
+    per_step = best / steps
+    return {
+        "config": name,
+        "n_atoms": len(full),
+        "ms_per_step": round(1e3 * per_step, 3),
+        "ns_day": round(86.4 / per_step / 1e3, 3),
+        "compile_s": round(compile_s, 1),
+        "finite": bool(np.all(np.isfinite(np.asarray(state.positions)))),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--configs", type=str, default="chig,trpcage,ww,abd")
+    args = ap.parse_args()
+    for name in args.configs.split(","):
+        print(json.dumps(bench_one(name, PROTEINS[name], args.steps)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
