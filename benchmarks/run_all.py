@@ -32,6 +32,9 @@ PROTEINS = {
 
 
 def bench_one(name: str, path: str, steps: int):
+    """NOTE: runs at the platform-default matmul precision (bf16 passes on
+    TPU).  Set jax_default_matmul_precision=float32 for the fidelity mode;
+    bench.py reports that configuration."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,6 +105,7 @@ def bench_one(name: str, path: str, steps: int):
     per_step = best / steps
     return {
         "config": name,
+        "matmul_precision": "default",
         "n_atoms": len(full),
         "ms_per_step": round(1e3 * per_step, 3),
         "ns_day": round(86.4 / per_step / 1e3, 3),
