@@ -38,8 +38,21 @@ def _place(a, b, c, bond, angle_deg, torsion_deg):
 
 def build_polyalanine(n_res: int, phi: float = -135.0, psi: float = 135.0) -> PDBAtoms:
     """ACE-(ALA)n-NME in a beta-strand-like conformation."""
+    return build_peptide(["ALA"] * n_res, phi=phi, psi=psi)
+
+
+def build_peptide(sequence: list[str], phi: float = -135.0, psi: float = 135.0) -> PDBAtoms:
+    """ACE-<sequence>-NME chain from ideal internal coordinates.
+
+    Supported residues: ALA, GLY, CYX (cysteine in a disulfide; SG placed
+    so the fragmentation indexer's min-distance S-S pairing can be
+    exercised)."""
+    n_res = len(sequence)
     if n_res < 2:
-        raise ValueError("need at least 2 ALA residues to fragment")
+        raise ValueError("need at least 2 residues to fragment")
+    for res in sequence:
+        if res not in ("ALA", "GLY", "CYX"):
+            raise ValueError(f"unsupported residue {res!r}")
     positions: list[np.ndarray] = []
     names: list[str] = []
     resnames: list[str] = []
@@ -64,26 +77,33 @@ def build_polyalanine(n_res: int, phi: float = -135.0, psi: float = 135.0) -> PD
         add(f"H{k + 1}", 1, h, "ACE", 1)
 
     prev = {"CA": ch3, "C": c, "O": o}
-    for r in range(n_res):
+    for r, res in enumerate(sequence):
         resn = r + 2
         n = _place(prev["O"], prev["CA"], prev["C"], 1.335, 116.6, 180.0)
         ca = _place(prev["CA"], prev["C"], n, 1.449, 121.9, 180.0)
         cc = _place(prev["C"], n, ca, 1.522, 110.1, phi)
         oo = _place(n, ca, cc, 1.229, 120.5, psi + 180.0)
-        add("N", 7, n, "ALA", resn)
-        add("CA", 6, ca, "ALA", resn)
-        add("C", 6, cc, "ALA", resn)
-        add("O", 8, oo, "ALA", resn)
-        h = _place(ca, cc, n, 1.01, 119.0, 180.0) if False else _place(
-            prev["C"], ca, n, 1.01, 118.0, 180.0
-        )
-        add("H", 1, h, "ALA", resn)
-        ha = _place(n, cc, ca, 1.09, 108.0, 120.0)
-        add("HA", 1, ha, "ALA", resn)
-        cb = _place(n, cc, ca, 1.526, 110.5, -120.0)
-        add("CB", 6, cb, "ALA", resn)
-        for k, t in enumerate((60.0, 180.0, 300.0)):
-            add(f"HB{k + 1}", 1, _place(n, ca, cb, 1.09, 109.5, t), "ALA", resn)
+        add("N", 7, n, res, resn)
+        add("CA", 6, ca, res, resn)
+        add("C", 6, cc, res, resn)
+        add("O", 8, oo, res, resn)
+        h = _place(prev["C"], ca, n, 1.01, 118.0, 180.0)
+        add("H", 1, h, res, resn)
+        if res == "GLY":
+            add("HA2", 1, _place(n, cc, ca, 1.09, 108.0, 120.0), res, resn)
+            add("HA3", 1, _place(n, cc, ca, 1.09, 108.0, -120.0), res, resn)
+        else:
+            add("HA", 1, _place(n, cc, ca, 1.09, 108.0, 120.0), res, resn)
+            cb = _place(n, cc, ca, 1.526, 110.5, -120.0)
+            add("CB", 6, cb, res, resn)
+            if res == "ALA":
+                for k, t in enumerate((60.0, 180.0, 300.0)):
+                    add(f"HB{k + 1}", 1, _place(n, ca, cb, 1.09, 109.5, t), res, resn)
+            else:  # CYX: tinker order CB, SG, then HB2/HB3
+                sg = _place(n, ca, cb, 1.81, 108.9, 180.0)
+                add("SG", 16, sg, res, resn)
+                add("HB2", 1, _place(n, ca, cb, 1.09, 109.5, 60.0), res, resn)
+                add("HB3", 1, _place(n, ca, cb, 1.09, 109.5, 300.0), res, resn)
         prev = {"CA": ca, "C": cc, "O": oo}
 
     # NME: N, CH3, H, H1, H2, H3 (tinker order: N, CH3=C? the templates use

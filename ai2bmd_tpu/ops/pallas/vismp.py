@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: fused ViS-MP edge block (experimental, forward only).
+
+The profiled bottleneck of the MD step is the ViS-MP layers' O(A^2) edge
+tensors ([edges, 256..512] floats) streaming through HBM between XLA
+fusions (ROADMAP.md).  Per fragment those tensors are only ~1-2 MB — they
+fit in VMEM.  This kernel computes the whole edge-heavy core of one layer
+for one fragment per grid step with zero HBM round trips for
+intermediates:
+
+    dk, dv   = split(silu(edge_attr @ W_dkv + b))        [A,A,H]
+    attn     = silu(sum_d q_i k_j dk) * cutoff(r) * adj  [A,A,nh]
+    v_ij     = (v_j * dv) * attn                         [A,A,H]
+    s1, s2   = split(silu(v_ij @ W_s + b)) * adj
+    x_agg_i  = sum_j v_ij
+    vec_agg  = sum_j s1 vec_j + sum_j s2 d_sh_ij
+
+Per-head reductions/broadcasts are expressed as matmuls against a constant
+[H, nh] head-pooling matrix so everything stays 2D and MXU-shaped.
+Node-side projections (q/k/v, vec_proj, o_proj, layer norms, the edge
+update) stay in XLA.  Status: forward parity is tested against the jnp
+reference; the custom backward kernel is round-2 work, so the production
+path does not use this yet (it exists behind `fused_edge_block` for
+benchmarking and as the foundation for the fused-layer VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+            adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+            xagg_ref, vecagg_ref, *, TI, A, H, nh, S, cutoff):
+    """Processes one (fragment, i-block) grid cell: TI center atoms against
+    all A sources; all [TI*A, H]-sized intermediates stay in VMEM."""
+    f32 = jnp.float32
+    E = TI * A
+
+    def edge_bcast(m2):
+        # [TI,A] pair scalar -> [E, H] (minor-dim-1 [E,1] arrays are
+        # rejected by this Mosaic toolchain; 3D broadcast+collapse works)
+        return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
+
+    edge = edge_ref[0].reshape(E, H)
+    dkv = jax.nn.silu(
+        jnp.dot(edge, wdkv_ref[...], preferred_element_type=f32) + bdkv_ref[...]
+    )
+    dk = dkv[:, :H]
+    dv = dkv[:, H:]
+
+    q = q_ref[0]                          # [TI, H] (this i-block)
+    k = k_ref[0]                          # [A, H]  (all sources)
+    v = v_ref[0]
+    # edge layout e = i*A + j (i major within the block)
+    q_e = jnp.broadcast_to(q[:, None, :], (TI, A, H)).reshape(E, H)
+    k_e = jnp.broadcast_to(k[None, :, :], (TI, A, H)).reshape(E, H)
+    pool = pool_ref[...]                  # [H, nh] head-pooling matrix
+
+    qk = q_e * k_e * dk
+    attn = jax.nn.silu(
+        jnp.dot(qk, pool, preferred_element_type=f32)
+    )                                     # [E, nh]
+    # gate in full-H space to avoid narrow-minor shapes
+    attn_full = jnp.dot(attn, pool.T, preferred_element_type=f32)  # [E, H]
+    dist = dist_ref[0]                    # [TI, A]
+    cut2 = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * (dist < cutoff)
+    gate = edge_bcast(cut2 * adj_ref[0])
+    attn_full = attn_full * gate
+
+    v_e = jnp.broadcast_to(v[None, :, :], (TI, A, H)).reshape(E, H)
+    v_ij = v_e * dv * attn_full
+
+    s = jax.nn.silu(
+        jnp.dot(v_ij, ws_ref[...], preferred_element_type=f32) + bs_ref[...]
+    )
+    adj_e = edge_bcast(adj_ref[0])
+    s1 = s[:, :H] * adj_e
+    s2 = s[:, H:] * adj_e
+
+    xagg_ref[0] = jnp.sum(v_ij.reshape(TI, A, H), axis=1)
+
+    vec = vec_ref[0]                      # [S, A, H]
+    dsh = dsh_ref[0]                      # [S, TI, A]
+    for c in range(S):
+        vec_c = jnp.broadcast_to(vec[c][None, :, :], (TI, A, H)).reshape(E, H)
+        contrib = s1 * vec_c + s2 * edge_bcast(dsh[c])
+        vecagg_ref[0, c] = jnp.sum(contrib.reshape(TI, A, H), axis=1)
+
+
+def head_pool_matrix(H: int, nh: int, dtype=np.float32) -> np.ndarray:
+    dh = H // nh
+    m = np.zeros((H, nh), dtype)
+    for h in range(nh):
+        m[h * dh:(h + 1) * dh, h] = 1.0
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def fused_edge_block(q, k, v, vec, edge_attr, d_sh, dist, adj,
+                     w_dkv, b_dkv, w_s, b_s, cutoff: float, nh: int,
+                     interpret: bool = False, i_tile: int = 8):
+    """Batched fused edge block.
+
+    Shapes: q/k/v [B,A,H]; vec [B,A,S,H]; edge_attr [B,A,A,H];
+    d_sh [B,A,A,S]; dist/adj [B,A,A]; weights [H,2H]/[2H].
+    Returns x_agg [B,A,H], vec_agg [B,A,S,H].
+
+    The grid is (fragment, center-atom block): i_tile center atoms per
+    step keep the [i_tile*A, 2H] intermediates within the VMEM budget.
+    """
+    B, A, H = q.shape
+    S = vec.shape[2]
+    TI = min(i_tile, A)
+    assert A % TI == 0, f"A={A} must be divisible by i_tile={TI}"
+    vec_sm = jnp.transpose(vec, (0, 2, 1, 3))       # [B,S,A,H]
+    dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))      # [B,S,A,A]
+    adj_f = adj.astype(q.dtype)
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+
+    kernel = functools.partial(
+        _kernel, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+
+    def full(block):
+        # per-fragment data, same block for every i-step
+        n = len(block)
+        return pl.BlockSpec(
+            (1,) + block, lambda b, i, n=n: (b,) + (0,) * n,
+            memory_space=pltpu.VMEM,
+        )
+
+    def itiled(block, axis):
+        # block where dimension `axis` (0-based within the block) is the
+        # center-atom axis, sliced into TI-chunks
+        n = len(block)
+        def idx(b, i, axis=axis, n=n):
+            out = [0] * n
+            out[axis] = i
+            return (b,) + tuple(out)
+        return pl.BlockSpec((1,) + block, idx, memory_space=pltpu.VMEM)
+
+    def pspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, i, n=n: (0,) * n, memory_space=pltpu.VMEM
+        )
+
+    xagg, vecagg_sm = pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),            # q: this i-block
+            full((A, H)), full((A, H)),    # k, v: all sources
+            full((S, A, H)),               # vec (sources)
+            itiled((TI, A, H), 0),         # edge_attr rows
+            itiled((S, TI, A), 1),         # d_sh rows (sphere-major)
+            itiled((TI, A), 0),            # dist rows
+            itiled((TI, A), 0),            # adj rows
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, nh)),
+        ],
+        out_specs=[itiled((TI, H), 0), itiled((S, TI, H), 1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+      w_dkv, b_dkv, w_s, b_s, pool)
+    return xagg, jnp.transpose(vecagg_sm, (0, 2, 1, 3))
+
+
+def reference_edge_block(q, k, v, vec, edge_attr, d_sh, dist, adj,
+                         w_dkv, b_dkv, w_s, b_s, cutoff: float, nh: int):
+    """jnp reference (mirrors models.visnet.vis_mp_layer's edge path)."""
+    B, A, H = q.shape
+    dh = H // nh
+    adj_f = adj.astype(q.dtype)
+    dkv = jax.nn.silu(edge_attr @ w_dkv + b_dkv)
+    dk = dkv[..., :H].reshape(B, A, A, nh, dh)
+    dv = dkv[..., H:].reshape(B, A, A, nh, dh)
+    qh = q.reshape(B, A, nh, dh)
+    kh = k.reshape(B, A, nh, dh)
+    vh = v.reshape(B, A, nh, dh)
+    attn = jnp.einsum("bihd,bjhd,bijhd->bijh", qh, kh, dk)
+    cut = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * (dist < cutoff)
+    attn = jax.nn.silu(attn) * cut[..., None] * adj_f[..., None]
+    v_ij = (vh[:, None, :, :, :] * dv * attn[..., None]).reshape(B, A, A, H)
+    s = jax.nn.silu(v_ij @ w_s + b_s)
+    s1 = s[..., :H] * adj_f[..., None]
+    s2 = s[..., H:] * adj_f[..., None]
+    x_agg = jnp.sum(v_ij, axis=2)
+    vec_agg = jnp.einsum("bjch,bijh->bich", vec, s1) + jnp.einsum(
+        "bijh,bijc->bich", s2, d_sh
+    )
+    return x_agg, vec_agg
