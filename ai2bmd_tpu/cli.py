@@ -173,6 +173,9 @@ def main(argv=None) -> int:
             hidden_channels=32, num_heads=4, num_layers=2, num_rbf=8
         )
 
+    if args.replicas > 1:
+        return _run_ensemble(args, prot_file, log_dir, model_cfg, log)
+
     sim = ProteinSimulation.from_pdb(
         prot_file,
         log_dir=log_dir,
@@ -191,6 +194,67 @@ def main(argv=None) -> int:
     except Exception as exc:  # reference exits -1 on runaway/solver errors
         log.error("%s", exc)
         return 255
+    return 0
+
+
+def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
+    """Replica-ensemble MD over a (dp, mp) mesh (BASELINE config 5).
+
+    Each replica is an independent Langevin trajectory (fragment mode,
+    vacuum); fragment rows shard over mp.  Final positions of every
+    replica are written as one npz."""
+    import jax
+    import numpy as np
+
+    from ai2bmd_tpu.frag.indexer import build_fragment_index
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.io.reorder import normalize_atom_order
+    from ai2bmd_tpu.models import visnet as V
+    from ai2bmd_tpu.parallel import EnsembleSimulation, make_mesh
+    from ai2bmd_tpu.simulators import load_model
+    from ai2bmd_tpu.system import Protein
+
+    atoms = normalize_atom_order(read_pdb(prot_file))
+    full = Protein.from_atoms(atoms)
+    qm_idx = full.protein_indices()
+    if len(qm_idx) < len(full):
+        log.error("ensemble mode currently runs the vacuum fragment path; "
+                  "pass the nowat protein file")
+        return 2
+    fi = build_fragment_index(atoms)
+    params, cfg = load_model(
+        args.ckpt_path, model_cfg, seed=args.seed
+    )
+
+    n_dev = len(jax.devices())
+    n_dp = min(args.mesh_dp, n_dev)
+    n_mp = args.mesh_mp if args.mesh_dp * args.mesh_mp == n_dev else n_dev // n_dp
+    mesh = make_mesh(n_dp, n_mp)
+    log.info("ensemble mesh: dp=%d mp=%d, %d replicas", n_dp, n_mp, args.replicas)
+
+    ens = EnsembleSimulation.build(
+        full, fi, params, cfg, mesh,
+        n_replicas=args.replicas,
+        timestep_fs=args.timestep,
+        temp_K=float(args.temp_k),
+        steps_per_call=args.record_per_steps,
+        opt_iters=args.opt_iters,
+    )
+    state = ens.initial_state(full.positions, temp_K=float(args.temp_k),
+                              seed=args.seed)
+    n_calls = max(1, args.sim_steps // args.record_per_steps)
+    for i in range(n_calls):
+        state = ens.run(state, 1)
+        e = np.asarray(state.energy)
+        print(
+            f"Step {int(np.asarray(state.step)[0])}: "
+            f"Epot mean = {e.mean():.3f}eV (min {e.min():.3f}, max {e.max():.3f})",
+            flush=True,
+        )
+    out = f"{log_dir}/{args.replicas}x-ensemble-final.npz"
+    np.savez(out, positions=np.asarray(state.positions),
+             velocities=np.asarray(state.velocities))
+    print(f"wrote {out}")
     return 0
 
 

@@ -53,3 +53,33 @@ def test_cli_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert (tmp_path / "chig-traj.xyz").exists()
     assert "Simulation finished!" in proc.stdout
+
+
+def test_cli_ensemble_mode(tmp_path):
+    conftest.require_examples()
+    import os as _os
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "ai2bmd_tpu",
+            "--prot-file", conftest.example_pdb("chig"),
+            "--log-dir", str(tmp_path),
+            "--sim-steps", "4", "--record-per-steps", "2",
+            "--replicas", "4", "--mesh-dp", "2", "--mesh-mp", "4",
+            "--model-preset", "tiny", "--opt-iters", "2", "--no-solvent",
+        ],
+        capture_output=True, text=True, timeout=500,
+        env={
+            **_os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        },
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Epot mean" in proc.stdout
+    import numpy as np
+
+    final = np.load(tmp_path / "4x-ensemble-final.npz")
+    assert final["positions"].shape == (4, 175, 3)
+    assert np.all(np.isfinite(final["positions"]))
