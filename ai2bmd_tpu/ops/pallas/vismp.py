@@ -16,6 +16,10 @@ intermediates:
 
 Per-head reductions/broadcasts are expressed as matmuls against a constant
 [H, nh] head-pooling matrix so everything stays 2D and MXU-shaped.
+Measured on chip (chig shapes, f32): 0.640 ms vs 0.785 ms for the XLA
+path (1.23x).  bf16 blocks need a dedicated (16,128)-tile layout pass
+(this toolchain rejects the 8-sublane bf16 blocks) — round-2 work
+together with the custom-VJP backward.
 Node-side projections (q/k/v, vec_proj, o_proj, layer norms, the edge
 update) stay in XLA.  Status: forward parity is tested against the jnp
 reference; the custom backward kernel is round-2 work, so the production
@@ -84,14 +88,14 @@ def _kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     s1 = s[:, :H] * adj_e
     s2 = s[:, H:] * adj_e
 
-    xagg_ref[0] = jnp.sum(v_ij.reshape(TI, A, H), axis=1)
+    xagg_ref[0] = jnp.sum(v_ij.reshape(TI, A, H), axis=1).astype(xagg_ref.dtype)
 
     vec = vec_ref[0]                      # [S, A, H]
     dsh = dsh_ref[0]                      # [S, TI, A]
     for c in range(S):
         vec_c = jnp.broadcast_to(vec[c][None, :, :], (TI, A, H)).reshape(E, H)
         contrib = s1 * vec_c + s2 * edge_bcast(dsh[c])
-        vecagg_ref[0, c] = jnp.sum(contrib.reshape(TI, A, H), axis=1)
+        vecagg_ref[0, c] = jnp.sum(contrib.reshape(TI, A, H), axis=1).astype(vecagg_ref.dtype)
 
 
 def head_pool_matrix(H: int, nh: int, dtype=np.float32) -> np.ndarray:
