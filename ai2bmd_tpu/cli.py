@@ -194,7 +194,37 @@ def main(argv=None) -> int:
     except Exception as exc:  # reference exits -1 on runaway/solver errors
         log.error("%s", exc)
         return 255
+
+    if args.build_frames and not args.restart:
+        _build_frames(log_dir, prot_name)
     return 0
+
+
+def _build_frames(log_dir: str, prot_name: str):
+    """Split the xyz trajectory into per-frame files (reference
+    build_frames_from_traj, simulator.py:205-223) under <log>/frames and
+    copy the joined trajectory into <log>/results."""
+    import shutil
+
+    traj = os.path.join(log_dir, f"{prot_name}-traj.xyz")
+    if not os.path.exists(traj):
+        return
+    frames_dir = os.path.join(log_dir, "frames")
+    results_dir = os.path.join(log_dir, "results")
+    os.makedirs(frames_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+    with open(traj) as f:
+        lines = f.read().splitlines(keepends=False)
+    i = frame = 0
+    while i < len(lines):
+        n = int(lines[i].strip())
+        block = lines[i:i + 2 + n]
+        step = block[1].split("step=")[1].split()[0] if "step=" in block[1] else frame
+        with open(os.path.join(frames_dir, f"structure{int(step):0>5}.xyz"), "w") as f:
+            f.write("\n".join(block) + "\n")
+        i += 2 + n
+        frame += 1
+    shutil.copy(traj, results_dir)
 
 
 def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
