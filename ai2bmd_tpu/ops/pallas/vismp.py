@@ -39,9 +39,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_full(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+                 adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+                 wt_ref, wsrc_ref, wf_ref, bf_ref,
+                 xagg_ref, vecagg_ref, df_ref, *, TI, A, H, nh, S, cutoff):
+    """Edge block + vector-rejection edge update in one kernel.
+
+    Extra inputs: wt/wsrc [S,*,H] (the W_trg/W_src-projected node vectors,
+    sphere-major; wt sliced to the i-block), f-projection weights.
+    Extra output: df [TI,A,H] — silu(f_proj(edge)) * <wt_i, wsrc_j>_c * adj
+    (the |d|^2-2 correction vanishes identically; models/visnet.py)."""
+    _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+               adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+               xagg_ref, vecagg_ref, TI=TI, A=A, H=H, nh=nh, S=S,
+               cutoff=cutoff)
+    f32 = jnp.float32
+    E = TI * A
+    edge = edge_ref[0].reshape(E, H)
+    f_out = jax.nn.silu(
+        jnp.dot(edge, wf_ref[...], preferred_element_type=f32) + bf_ref[...]
+    )
+    wt = wt_ref[0]                        # [S, TI, H]
+    wsrc = wsrc_ref[0]                    # [S, A, H]
+    S_e = jnp.zeros((E, H), f32)
+    for c in range(S):
+        wt_c = jnp.broadcast_to(wt[c][:, None, :], (TI, A, H)).reshape(E, H)
+        ws_c = jnp.broadcast_to(wsrc[c][None, :, :], (TI, A, H)).reshape(E, H)
+        S_e = S_e + wt_c * ws_c
+    adj_e = jnp.broadcast_to(
+        adj_ref[0][:, :, None], (TI, A, H)
+    ).reshape(E, H)
+    df_ref[0] = (f_out * S_e * adj_e).reshape(TI, A, H).astype(df_ref.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
             adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
             xagg_ref, vecagg_ref, *, TI, A, H, nh, S, cutoff):
+    _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+               adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+               xagg_ref, vecagg_ref, TI=TI, A=A, H=H, nh=nh, S=S,
+               cutoff=cutoff)
+
+
+def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+               adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+               xagg_ref, vecagg_ref, *, TI, A, H, nh, S, cutoff):
     """Processes one (fragment, i-block) grid cell: TI center atoms against
     all A sources; all [TI*A, H]-sized intermediates stay in VMEM."""
     f32 = jnp.float32
@@ -208,3 +250,87 @@ def reference_edge_block(q, k, v, vec, edge_attr, d_sh, dist, adj,
         "bijh,bijc->bich", s2, d_sh
     )
     return x_agg, vec_agg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def fused_edge_block_with_update(q, k, v, vec, edge_attr, d_sh, dist, adj,
+                                 w_dkv, b_dkv, w_s, b_s, wt_vec, wsrc_vec,
+                                 w_f, b_f, cutoff: float, nh: int,
+                                 interpret: bool = False, i_tile: int = 8):
+    """Edge block + edge update fused: also returns df [B,A,A,H].
+
+    wt_vec/wsrc_vec are the W_trg/W_src-projected node vectors [B,A,S,H]
+    (projections stay in XLA; the O(A^2) contraction is in-kernel)."""
+    B, A, H = q.shape
+    S = vec.shape[2]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
+    dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+    wt_sm = jnp.transpose(wt_vec, (0, 2, 1, 3))
+    wsrc_sm = jnp.transpose(wsrc_vec, (0, 2, 1, 3))
+    adj_f = adj.astype(q.dtype)
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+
+    kernel = functools.partial(
+        _kernel_full, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+
+    def full(block):
+        n = len(block)
+        return pl.BlockSpec((1,) + block, lambda b, i, n=n: (b,) + (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    def itiled(block, axis):
+        n = len(block)
+        def idx(b, i, axis=axis, n=n):
+            out = [0] * n
+            out[axis] = i
+            return (b,) + tuple(out)
+        return pl.BlockSpec((1,) + block, idx, memory_space=pltpu.VMEM)
+
+    def pspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, i, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    xagg, vecagg_sm, df = pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),
+            full((A, H)), full((A, H)),
+            full((S, A, H)),
+            itiled((TI, A, H), 0),
+            itiled((S, TI, A), 1),
+            itiled((TI, A), 0),
+            itiled((TI, A), 0),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, nh)),
+            itiled((S, TI, H), 1),          # wt (center block)
+            full((S, A, H)),                # wsrc (all sources)
+            pspec((H, H)), pspec((H,)),
+        ],
+        out_specs=[
+            itiled((TI, H), 0), itiled((S, TI, H), 1),
+            itiled((TI, A, H), 0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, H), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+      w_dkv, b_dkv, w_s, b_s, pool, wt_sm, wsrc_sm, w_f, b_f)
+    return xagg, jnp.transpose(vecagg_sm, (0, 2, 1, 3)), df
+
+
+def reference_edge_update(edge_attr, adj, wt_vec, wsrc_vec, w_f, b_f):
+    """jnp reference of the fused edge update (rejection identity applied)."""
+    adj_f = adj.astype(edge_attr.dtype)
+    S_ij = jnp.einsum("bich,bjch->bijh", wt_vec, wsrc_vec)
+    return jax.nn.silu(edge_attr @ w_f + b_f) * S_ij * adj_f[..., None]

@@ -64,3 +64,26 @@ def test_head_pool_matrix():
     assert np.allclose(pooled[:, 0], x[:, :16].sum(1))
     expanded = pooled @ m.T
     assert np.allclose(expanded[:, 3], pooled[:, 0])
+
+
+def test_fused_with_update_matches_reference(rng):
+    from ai2bmd_tpu.ops.pallas.vismp import (
+        fused_edge_block_with_update,
+        reference_edge_update,
+    )
+
+    a = _system(rng)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+    B, A, S, H = a["vec"].shape
+    wt, wsrc = f(B, A, S, H), f(B, A, S, H)
+    w_f, b_f = f(H, H) * 0.2, f(H) * 0.1
+    args = (a["q"], a["k"], a["v"], a["vec"], a["edge_attr"], a["d_sh"],
+            a["dist"], a["adj"], a["w_dkv"], a["b_dkv"], a["w_s"], a["b_s"])
+    x_ref, v_ref = reference_edge_block(*args, 5.0, 4)
+    df_ref = reference_edge_update(a["edge_attr"], a["adj"], wt, wsrc, w_f, b_f)
+    x, v, df = fused_edge_block_with_update(
+        *args, wt, wsrc, w_f, b_f, 5.0, 4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-5)
