@@ -18,9 +18,31 @@ import numpy as np
 
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
 
+# Bundled example inputs (chig/trpcage/ww/abd + preprocessed chig box), the
+# same structures the reference ships under examples/ — input data, kept
+# in-repo so the framework runs standalone.
+_EXAMPLES = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "examples")
+)
+
 
 def asset_path(name: str) -> str:
     return os.path.join(_ASSETS, name)
+
+
+def examples_dir() -> str:
+    return os.environ.get("AI2BMD_TPU_EXAMPLES", _EXAMPLES)
+
+
+def example_pdb(name: str) -> str:
+    """Path of a bundled example structure by short name.
+
+    Accepts 'chig', 'trpcage', 'ww', 'abd', 'chig-preeq', 'chig-preeq-nowat'.
+    """
+    root = examples_dir()
+    if name in ("chig-preeq", "chig-preeq-nowat"):
+        return os.path.join(root, "chig_preprocessed", f"{name}.pdb")
+    return os.path.join(root, f"{name}.pdb")
 
 
 @functools.lru_cache(maxsize=None)

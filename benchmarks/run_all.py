@@ -20,14 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXAMPLES = os.environ.get("AI2BMD_TPU_EXAMPLES", "/root/reference/examples")
+from ai2bmd_tpu.data import example_pdb  # noqa: E402
 
 PROTEINS = {
-    "chig": f"{EXAMPLES}/chig.pdb",
-    "trpcage": f"{EXAMPLES}/trpcage.pdb",
-    "ww": f"{EXAMPLES}/ww.pdb",
-    "abd": f"{EXAMPLES}/abd.pdb",
-    "chig-solvated": f"{EXAMPLES}/chig_preprocessed/chig-preeq.pdb",
+    "chig": example_pdb("chig"),
+    "trpcage": example_pdb("trpcage"),
+    "ww": example_pdb("ww"),
+    "abd": example_pdb("abd"),
+    "chig-solvated": example_pdb("chig-preeq"),
 }
 
 

@@ -19,22 +19,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_EXAMPLES = os.environ.get(
-    "AI2BMD_TPU_EXAMPLES", "/root/reference/examples"
-)
-
-
-def example_pdb(name: str) -> str:
-    if name == "chig-preeq-nowat":
-        return os.path.join(REFERENCE_EXAMPLES, "chig_preprocessed", "chig-preeq-nowat.pdb")
-    if name == "chig-preeq":
-        return os.path.join(REFERENCE_EXAMPLES, "chig_preprocessed", "chig-preeq.pdb")
-    return os.path.join(REFERENCE_EXAMPLES, f"{name}.pdb")
+from ai2bmd_tpu.data import example_pdb, examples_dir  # noqa: E402,F401
 
 
 def require_examples():
-    if not os.path.isdir(REFERENCE_EXAMPLES):
-        pytest.skip("reference example PDBs not available")
+    if not os.path.isdir(examples_dir()):
+        pytest.skip("example PDBs not available")
 
 
 @pytest.fixture(scope="session")
