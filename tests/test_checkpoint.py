@@ -15,13 +15,14 @@ from ai2bmd_tpu.models import checkpoint as C  # noqa: E402
 CFG = V.ViSNetConfig(hidden_channels=16, num_heads=2, num_layers=2, num_rbf=4, max_z=20)
 
 
-def _synthetic_state_dict(cfg, seed=0):
+def _synthetic_state_dict(cfg, seed=0, scale=0.2):
     g = torch.Generator().manual_seed(seed)
     H, R = cfg.hidden_channels, cfg.num_rbf
 
     def t(*shape):
         # small scale: N(0,1) weights overflow the multiplicative attention
-        return torch.randn(*shape, generator=g) * 0.2
+        # (9x256 needs <=0.1 to stay finite through the residual stream)
+        return torch.randn(*shape, generator=g) * scale
 
     rm = "model.representation_model"
     sd = {
