@@ -71,10 +71,37 @@ class ViSNetConfig:
     # unit-norm), so the correction a_ij*b_ij*(|d|^2-2) vanishes to float
     # rounding (~1e-6 relative); the default skips those two O(B*A^2*H)
     # contractions per layer.
+    fused: bool = False
+    # fused=True runs each layer's O(A^2) edge core (attention messages,
+    # gated vector aggregation, vector-rejection edge update) as fused
+    # Pallas TPU kernels with a hand-written VJP (ops/pallas/vismp.py):
+    # all edge intermediates stay in VMEM instead of streaming through HBM
+    # between XLA fusions.  Position gradients (forces) are exact; WEIGHT
+    # gradients are zero by design — training must use fused=False.
+    # Requires exact_rejection=False and A % 8 == 0 (falls back otherwise).
+    fused_interpret: bool = False   # run the kernels in interpreter mode
+    #                                 (CPU correctness tests only)
 
     @property
     def n_sphere(self) -> int:
         return (self.lmax + 1) ** 2 - 1
+
+
+def resolve_config(cfg: ViSNetConfig) -> ViSNetConfig:
+    """Enable the fused Pallas path automatically on TPU backends.
+
+    The fused kernels are Mosaic-only; CPU runs (tests, multichip dryruns)
+    keep the pure-jnp path.  No-op if the caller already set cfg.fused.
+    """
+    import jax
+
+    if cfg.fused or cfg.fused_interpret:
+        return cfg
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return dataclasses.replace(cfg, fused=on_tpu)
 
 
 def _act(name: str):
@@ -317,26 +344,64 @@ def vis_mp_layer(lp, x, vec, adj, dist, edge_attr, d_sh, cfg: ViSNetConfig, last
         [lp["q_proj"]["b"], lp["k_proj"]["b"], lp["v_proj"]["b"]]
     )
     q, k, v = jnp.split(x @ w_qkv + b_qkv, 3, axis=-1)
-    q = q.reshape(B, A, nh, dh)
-    k = k.reshape(B, A, nh, dh)
-    v = v.reshape(B, A, nh, dh)
     w_dkv = jnp.concatenate([lp["dk_proj"]["w"], lp["dv_proj"]["w"]], axis=1)
     b_dkv = jnp.concatenate([lp["dk_proj"]["b"], lp["dv_proj"]["b"]])
-    dk, dv = jnp.split(act(edge_attr @ w_dkv + b_dkv), 2, axis=-1)
-    dk = dk.reshape(B, A, A, nh, dh)
-    dv = dv.reshape(B, A, A, nh, dh)
 
     vec123 = _linear(lp["vec_proj"], vec)              # [B,A,S,3H]
     vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
     vec_dot = jnp.sum(vec1 * vec2, axis=-2)            # [B,A,H]
 
+    # the kernels hardwire silu (the production activation)
+    use_fused = (
+        cfg.fused and not cfg.exact_rejection and A % 8 == 0
+        and cfg.activation in ("silu", "swish")
+        and cfg.attn_activation in ("silu", "swish")
+    )
+    if use_fused:
+        from ai2bmd_tpu.ops.pallas import vismp as PK
+
+        core = PK.fused_vis_mp(
+            cfg.cutoff, nh, last, interpret=cfg.fused_interpret
+        )
+        if last:
+            x_agg, vec_agg = core(
+                q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, lp["s_proj"]["w"], lp["s_proj"]["b"],
+            )
+            df = None
+        else:
+            wt = _linear(lp["w_trg_proj"], vec)        # [B,A,S,H]
+            ws = _linear(lp["w_src_proj"], vec)
+            x_agg, vec_agg, df = core(
+                q, k, v, vec, wt, ws, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, lp["s_proj"]["w"], lp["s_proj"]["b"],
+                lp["f_proj"]["w"], lp["f_proj"]["b"],
+            )
+        o1, o2, o3 = jnp.split(_linear(lp["o_proj"], x_agg), 3, axis=-1)
+        dx = vec_dot * o2 + o3
+        dvec = vec3 * o1[:, :, None, :] + vec_agg
+        return dx, dvec, df
+
+    dk, dv = jnp.split(act(edge_attr @ w_dkv + b_dkv), 2, axis=-1)
+
     # --- attention message (center i attends over sources j) ---
-    attn = jnp.einsum("bihd,bjhd,bijhd->bijh", q, k, dk)
-    attn = attn_act(attn) * cosine_cutoff(dist, cfg.cutoff)[..., None]
+    # Per-head logits, broadcast back to channels via ONE block-diagonal
+    # [H,H] matmul: (p @ head_sum)[...,c] = sum_{c' in head(c)} p[...,c'].
+    # Every edge tensor stays [B,A,A,H]; the [B,A,A,nh,dh] layout the
+    # reference's reshape implies would lane-pad the minor dims (dh=32,
+    # nh=8) to 128 on TPU — 4-16x wasted HBM traffic on the largest
+    # tensors of the whole model.  attn_act is elementwise and the
+    # broadcast value is constant within a head, so activation-after-
+    # broadcast is exact.
+    head_sum = jnp.asarray(
+        np.kron(np.eye(nh, dtype=np.float32), np.ones((dh, dh), np.float32)),
+        x.dtype,
+    )
+    p = q[:, :, None, :] * k[:, None, :, :] * dk       # [B,A,A,H]
+    attn = attn_act(p @ head_sum) * cosine_cutoff(dist, cfg.cutoff)[..., None]
     attn = attn * adj_f[..., None]
 
-    v_ij = (v[:, None, :, :, :] * dv) * attn[..., None]   # [B,A,A,nh,dh]
-    v_ij = v_ij.reshape(B, A, A, H)
+    v_ij = v[:, None, :, :] * dv * attn                # [B,A,A,H]
 
     s = act(_linear(lp["s_proj"], v_ij))               # [B,A,A,2H]
     s1, s2 = jnp.split(s, 2, axis=-1)

@@ -334,3 +334,390 @@ def reference_edge_update(edge_attr, adj, wt_vec, wsrc_vec, w_f, b_f):
     adj_f = adj.astype(edge_attr.dtype)
     S_ij = jnp.einsum("bich,bjch->bijh", wt_vec, wsrc_vec)
     return jax.nn.silu(edge_attr @ w_f + b_f) * S_ij * adj_f[..., None]
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP backward kernels (the production fused path)
+#
+# MD forces only differentiate POSITIONS; the fused op therefore returns
+# real cotangents for every activation/geometry input (q, k, v, vec, wt,
+# wsrc, edge_attr, d_sh, dist) and ZERO cotangents for the layer weights.
+# Training must use the jnp path (ViSNetConfig.fused=False).
+# ---------------------------------------------------------------------------
+
+
+def _dsilu(z):
+    sg = jax.nn.sigmoid(z)
+    return sg * (1.0 + z * (1.0 - sg))
+
+
+def _dotT(x, w):
+    """x @ w.T without materializing the transpose."""
+    return jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+                    adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+                    gx_ref, gva_ref,
+                    gq_ref, gk_ref, gv_ref, gvec_ref, gedge_ref, gdsh_ref,
+                    gdist_ref, *, TI, A, H, nh, S, cutoff):
+    """Backward of the message path (x_agg, vec_agg) for one (b, i-block).
+
+    Recomputes the forward edge tensors in VMEM from the layer inputs, then
+    chains the cotangents.  Source-indexed grads (g_k, g_v, g_vec) sum over
+    center atoms and accumulate across i-blocks into revisited output
+    blocks (sequential TPU grid)."""
+    f32 = jnp.float32
+    E = TI * A
+    it = pl.program_id(1)
+
+    def ebc(m2):  # [TI,A] pair scalar -> [E,H]
+        return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
+
+    def ibc(m):   # [TI,H] center -> [E,H]
+        return jnp.broadcast_to(m[:, None, :], (TI, A, H)).reshape(E, H)
+
+    def jbc(m):   # [A,H] source -> [E,H]
+        return jnp.broadcast_to(m[None, :, :], (TI, A, H)).reshape(E, H)
+
+    # ---- forward recompute ----
+    edge = edge_ref[0].reshape(E, H)
+    zdkv = jnp.dot(edge, wdkv_ref[...], preferred_element_type=f32) + bdkv_ref[...]
+    dkv = jax.nn.silu(zdkv)
+    dk = dkv[:, :H]
+    dv = dkv[:, H:]
+    q_e = ibc(q_ref[0])
+    k_e = jbc(k_ref[0])
+    v_e = jbc(v_ref[0])
+    pool = pool_ref[...]
+    p = q_e * k_e * dk
+    a = jnp.dot(p, pool, preferred_element_type=f32)              # [E,nh]
+    attn_full = jnp.dot(jax.nn.silu(a), pool.T, preferred_element_type=f32)
+    dist = dist_ref[0]
+    inside = (dist < cutoff).astype(f32)
+    cut = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * inside
+    adj = adj_ref[0]
+    gate = ebc(cut * adj)
+    g3 = attn_full * gate
+    v_ij = v_e * dv * g3
+    zs = jnp.dot(v_ij, ws_ref[...], preferred_element_type=f32) + bs_ref[...]
+    s = jax.nn.silu(zs)
+    adj_e = ebc(adj)
+    s1 = s[:, :H] * adj_e
+    s2 = s[:, H:] * adj_e
+
+    # ---- backward chains ----
+    @pl.when(it == 0)
+    def _init():
+        gk_ref[...] = jnp.zeros_like(gk_ref)
+        gv_ref[...] = jnp.zeros_like(gv_ref)
+        gvec_ref[...] = jnp.zeros_like(gvec_ref)
+
+    vec = vec_ref[0]            # [S,A,H]
+    gva = gva_ref[0]            # [S,TI,H]
+    dsh = dsh_ref[0]            # [S,TI,A]
+    g_s1 = jnp.zeros((E, H), f32)
+    g_s2 = jnp.zeros((E, H), f32)
+    for c in range(S):
+        gvc = ibc(gva[c])
+        g_s1 = g_s1 + gvc * jbc(vec[c])
+        g_s2 = g_s2 + gvc * ebc(dsh[c])
+        gvec_ref[0, c] = gvec_ref[0, c] + (
+            (s1 * gvc).reshape(TI, A, H).sum(axis=0)
+        ).astype(gvec_ref.dtype)
+        gdsh_ref[0, c] = (
+            (gvc * s2).reshape(TI, A, H).sum(axis=-1)
+        ).astype(gdsh_ref.dtype)
+
+    g_s = jnp.concatenate([g_s1 * adj_e, g_s2 * adj_e], axis=1) * _dsilu(zs)
+    g_vij = _dotT(g_s, ws_ref[...]) + ibc(gx_ref[0])
+
+    gv_ref[0] = gv_ref[0] + (
+        (g_vij * dv * g3).reshape(TI, A, H).sum(axis=0)
+    ).astype(gv_ref.dtype)
+    g_dv = g_vij * v_e * g3
+    g_g3 = g_vij * v_e * dv
+
+    g_attn_full = g_g3 * gate
+    g_cut = (g_g3 * attn_full).reshape(TI, A, H).sum(axis=-1) * adj
+    dcut = -0.5 * (math.pi / cutoff) * jnp.sin(dist * (math.pi / cutoff)) * inside
+    gdist_ref[0] = (g_cut * dcut).astype(gdist_ref.dtype)
+
+    g_a = jnp.dot(g_attn_full, pool, preferred_element_type=f32) * _dsilu(a)
+    g_p = jnp.dot(g_a, pool.T, preferred_element_type=f32)
+    gq_ref[0] = ((g_p * k_e * dk).reshape(TI, A, H).sum(axis=1)).astype(gq_ref.dtype)
+    gk_ref[0] = gk_ref[0] + (
+        (g_p * q_e * dk).reshape(TI, A, H).sum(axis=0)
+    ).astype(gk_ref.dtype)
+    g_dk = g_p * q_e * k_e
+
+    g_dkv = jnp.concatenate([g_dk, g_dv], axis=1) * _dsilu(zdkv)
+    gedge_ref[0] = _dotT(g_dkv, wdkv_ref[...]).reshape(TI, A, H).astype(gedge_ref.dtype)
+
+
+def _bwd_upd_kernel(edge_ref, adj_ref, wt_ref, wsrc_ref, wf_ref, bf_ref,
+                    gdf_ref,
+                    gedge_ref, gwt_ref, gwsrc_ref, *, TI, A, H, S):
+    """Backward of the edge update df = silu(f_proj(edge)) * <wt_i, ws_j>_c * adj."""
+    f32 = jnp.float32
+    E = TI * A
+    it = pl.program_id(1)
+
+    def ebc(m2):
+        return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
+
+    def ibc(m):
+        return jnp.broadcast_to(m[:, None, :], (TI, A, H)).reshape(E, H)
+
+    def jbc(m):
+        return jnp.broadcast_to(m[None, :, :], (TI, A, H)).reshape(E, H)
+
+    @pl.when(it == 0)
+    def _init():
+        gwsrc_ref[...] = jnp.zeros_like(gwsrc_ref)
+
+    edge = edge_ref[0].reshape(E, H)
+    zf = jnp.dot(edge, wf_ref[...], preferred_element_type=f32) + bf_ref[...]
+    fo = jax.nn.silu(zf)
+    wt = wt_ref[0]      # [S,TI,H]
+    ws = wsrc_ref[0]    # [S,A,H]
+    S_e = jnp.zeros((E, H), f32)
+    for c in range(S):
+        S_e = S_e + ibc(wt[c]) * jbc(ws[c])
+
+    g_dfm = gdf_ref[0].reshape(E, H) * ebc(adj_ref[0])
+    g_fo = g_dfm * S_e
+    g_Sij = g_dfm * fo
+    for c in range(S):
+        gwt_ref[0, c] = (
+            (g_Sij * jbc(ws[c])).reshape(TI, A, H).sum(axis=1)
+        ).astype(gwt_ref.dtype)
+        gwsrc_ref[0, c] = gwsrc_ref[0, c] + (
+            (g_Sij * ibc(wt[c])).reshape(TI, A, H).sum(axis=0)
+        ).astype(gwsrc_ref.dtype)
+    gedge_ref[0] = _dotT(g_fo * _dsilu(zf), wf_ref[...]).reshape(TI, A, H).astype(gedge_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def _bwd_msg_call(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+                  w_dkv, b_dkv, w_s, b_s, g_xagg, g_vecagg_sm,
+                  cutoff: float, nh: int, interpret: bool = False,
+                  i_tile: int = 8):
+    B, A, H = q.shape
+    S = vec_sm.shape[1]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+    kernel = functools.partial(
+        _bwd_msg_kernel, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+
+    def full(block):
+        n = len(block)
+        return pl.BlockSpec((1,) + block, lambda b, i, n=n: (b,) + (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    def itiled(block, axis):
+        n = len(block)
+        def idx(b, i, axis=axis, n=n):
+            out = [0] * n
+            out[axis] = i
+            return (b,) + tuple(out)
+        return pl.BlockSpec((1,) + block, idx, memory_space=pltpu.VMEM)
+
+    def pspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, i, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),            # q
+            full((A, H)), full((A, H)),    # k, v
+            full((S, A, H)),               # vec
+            itiled((TI, A, H), 0),         # edge_attr
+            itiled((S, TI, A), 1),         # d_sh
+            itiled((TI, A), 0),            # dist
+            itiled((TI, A), 0),            # adj
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, nh)),
+            itiled((TI, H), 0),            # g_xagg
+            itiled((S, TI, H), 1),         # g_vecagg
+        ],
+        out_specs=[
+            itiled((TI, H), 0),            # g_q
+            full((A, H)),                  # g_k (accumulated)
+            full((A, H)),                  # g_v (accumulated)
+            full((S, A, H)),               # g_vec (accumulated)
+            itiled((TI, A, H), 0),         # g_edge
+            itiled((S, TI, A), 1),         # g_dsh
+            itiled((TI, A), 0),            # g_dist
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, A), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+      w_dkv, b_dkv, w_s, b_s, pool, g_xagg, g_vecagg_sm)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "i_tile"))
+def _bwd_upd_call(edge_attr, adj_f, wt_sm, wsrc_sm, w_f, b_f, g_df,
+                  interpret: bool = False, i_tile: int = 8):
+    B, A, _, H = edge_attr.shape
+    S = wt_sm.shape[1]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    kernel = functools.partial(_bwd_upd_kernel, TI=TI, A=A, H=H, S=S)
+
+    def full(block):
+        n = len(block)
+        return pl.BlockSpec((1,) + block, lambda b, i, n=n: (b,) + (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    def itiled(block, axis):
+        n = len(block)
+        def idx(b, i, axis=axis, n=n):
+            out = [0] * n
+            out[axis] = i
+            return (b,) + tuple(out)
+        return pl.BlockSpec((1,) + block, idx, memory_space=pltpu.VMEM)
+
+    def pspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, i, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, A, H), 0),         # edge_attr
+            itiled((TI, A), 0),            # adj
+            itiled((S, TI, H), 1),         # wt
+            full((S, A, H)),               # wsrc
+            pspec((H, H)), pspec((H,)),
+            itiled((TI, A, H), 0),         # g_df
+        ],
+        out_specs=[
+            itiled((TI, A, H), 0),         # g_edge
+            itiled((S, TI, H), 1),         # g_wt
+            full((S, A, H)),               # g_wsrc (accumulated)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, A, H), edge_attr.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), edge_attr.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), edge_attr.dtype),
+        ],
+        interpret=interpret,
+    )(edge_attr, adj_f, wt_sm, wsrc_sm, w_f, b_f, g_df)
+
+
+@functools.lru_cache(maxsize=None)
+def fused_vis_mp(cutoff: float, nh: int, last: bool,
+                 interpret: bool = False, i_tile: int = 8):
+    """Production fused ViS-MP edge core with a hand-written Pallas VJP.
+
+    Returns a function
+        f(q, k, v, vec, wt, wsrc, edge_attr, d_sh, dist, adj_f,
+          w_dkv, b_dkv, w_s, b_s, w_f, b_f)
+        -> (x_agg, vec_agg, df)            [df = None-shaped zeros if last]
+    with shapes q/k/v [B,A,H], vec/wt/wsrc [B,A,S,H], edge_attr [B,A,A,H],
+    d_sh [B,A,A,S], dist/adj_f [B,A,A].
+
+    WEIGHT GRADIENTS ARE ZERO by design (forces differentiate positions
+    only); use the jnp path for training.  For last=True the wt/wsrc/w_f/
+    b_f inputs are ignored and only (x_agg, vec_agg) is returned.
+    """
+
+    if last:
+        def _primal(q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+                    w_dkv, b_dkv, w_s, b_s):
+            return fused_edge_block(
+                q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, w_s, b_s, cutoff, nh,
+                interpret=interpret, i_tile=i_tile,
+            )
+
+        core = jax.custom_vjp(_primal)
+
+        def fwd(*args):
+            return _primal(*args), args
+
+        def bwd(res, cts):
+            (q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+             w_dkv, b_dkv, w_s, b_s) = res
+            g_xagg, g_vecagg = cts
+            vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
+            dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+            gva_sm = jnp.transpose(g_vecagg, (0, 2, 1, 3))
+            g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call(
+                q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+                w_dkv, b_dkv, w_s, b_s, g_xagg, gva_sm,
+                cutoff, nh, interpret=interpret, i_tile=i_tile,
+            )
+            return (g_q, g_k, g_v, jnp.transpose(g_vec_sm, (0, 2, 1, 3)),
+                    g_edge, jnp.transpose(g_dsh_sm, (0, 2, 3, 1)), g_dist,
+                    jnp.zeros_like(adj_f), jnp.zeros_like(w_dkv),
+                    jnp.zeros_like(b_dkv), jnp.zeros_like(w_s),
+                    jnp.zeros_like(b_s))
+
+        core.defvjp(fwd, bwd)
+        return core
+
+    def _primal(q, k, v, vec, wt, wsrc, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, w_s, b_s, w_f, b_f):
+        return fused_edge_block_with_update(
+            q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+            w_dkv, b_dkv, w_s, b_s, wt, wsrc, w_f, b_f, cutoff, nh,
+            interpret=interpret, i_tile=i_tile,
+        )
+
+    core = jax.custom_vjp(_primal)
+
+    def fwd(*args):
+        return _primal(*args), args
+
+    def bwd(res, cts):
+        (q, k, v, vec, wt, wsrc, edge_attr, d_sh, dist, adj_f,
+         w_dkv, b_dkv, w_s, b_s, w_f, b_f) = res
+        g_xagg, g_vecagg, g_df = cts
+        vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
+        dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+        gva_sm = jnp.transpose(g_vecagg, (0, 2, 1, 3))
+        g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call(
+            q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+            w_dkv, b_dkv, w_s, b_s, g_xagg, gva_sm,
+            cutoff, nh, interpret=interpret, i_tile=i_tile,
+        )
+        wt_sm = jnp.transpose(wt, (0, 2, 1, 3))
+        wsrc_sm = jnp.transpose(wsrc, (0, 2, 1, 3))
+        g_edge2, g_wt_sm, g_wsrc_sm = _bwd_upd_call(
+            edge_attr, adj_f, wt_sm, wsrc_sm, w_f, b_f, g_df,
+            interpret=interpret, i_tile=i_tile,
+        )
+        return (g_q, g_k, g_v, jnp.transpose(g_vec_sm, (0, 2, 1, 3)),
+                jnp.transpose(g_wt_sm, (0, 2, 1, 3)),
+                jnp.transpose(g_wsrc_sm, (0, 2, 1, 3)),
+                g_edge + g_edge2, jnp.transpose(g_dsh_sm, (0, 2, 3, 1)),
+                g_dist, jnp.zeros_like(adj_f),
+                jnp.zeros_like(w_dkv), jnp.zeros_like(b_dkv),
+                jnp.zeros_like(w_s), jnp.zeros_like(b_s),
+                jnp.zeros_like(w_f), jnp.zeros_like(b_f))
+
+    core.defvjp(fwd, bwd)
+    return core

@@ -66,6 +66,7 @@ class EnsembleSimulation:
         steps_per_call: int = 1,
         opt_iters: int = 10,
     ) -> "EnsembleSimulation":
+        cfg = V.resolve_config(cfg)
         n_mp = mesh.shape["mp"]
         n_dp = mesh.shape["dp"]
         if n_replicas % n_dp:

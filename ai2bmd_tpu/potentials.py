@@ -46,6 +46,7 @@ class FragmentPotential:
         longrange: str = "mm",
         opt_iters: int = 10,
     ) -> "FragmentPotential":
+        cfg = V.resolve_config(cfg)
         fi = build_fragment_index(prot.atoms)
         rt = FragmentRuntime.build(fi, opt_iters=opt_iters)
         nb = pme = None
@@ -102,6 +103,7 @@ class ViSNetPotential:
     @classmethod
     def build(cls, numbers: np.ndarray, params: dict, cfg: V.ViSNetConfig,
               pad_multiple: int = 8) -> "ViSNetPotential":
+        cfg = V.resolve_config(cfg)
         n = len(numbers)
         pad_to = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
         z = np.zeros((1, pad_to), dtype=np.int32)

@@ -87,3 +87,29 @@ def test_fused_with_update_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-5)
+
+
+def test_fused_model_vjp_matches_jnp(rng):
+    """Full-model parity of the fused Pallas path (interpret mode): energy
+    AND forces (the hand-written VJP) vs the pure-jnp path."""
+    import jax
+
+    from ai2bmd_tpu.models import visnet as V
+
+    cfg0 = V.ViSNetConfig(
+        hidden_channels=32, num_heads=4, num_layers=3, num_rbf=8, max_z=20
+    )
+    cfg1 = V.ViSNetConfig(
+        hidden_channels=32, num_heads=4, num_layers=3, num_rbf=8, max_z=20,
+        fused=True, fused_interpret=True,
+    )
+    params = V.init_params(jax.random.PRNGKey(0), cfg0)
+    B, A = 2, 16
+    z = jnp.asarray(rng.integers(1, 9, (B, A)), jnp.int32)
+    pos = jnp.asarray(rng.random((B, A, 3)) * 5, jnp.float32)
+    mask = jnp.asarray(rng.random((B, A)) < 0.9)
+
+    e0, f0 = jax.jit(lambda *a: V.energy_and_forces(*a, cfg0))(params, z, pos, mask)
+    e1, f1 = jax.jit(lambda *a: V.energy_and_forces(*a, cfg1))(params, z, pos, mask)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=2e-6)
