@@ -73,12 +73,14 @@ class Simulator:
         hbond_restraint: BondRestraint | None = None,
         stateful: bool = False,
         init_aux=(),
+        cell: np.ndarray | None = None,
     ):
         self.cfg = cfg
         self.masses = jnp.asarray(masses, jnp.float32)
         self.numbers = numbers
         self.log_dir = log_dir
         self.prot_name = prot_name
+        self.cell = None if cell is None or not np.any(cell) else np.asarray(cell)
         os.makedirs(log_dir, exist_ok=True)
 
         self.coeffs = L.LangevinCoeffs.build(
@@ -122,14 +124,24 @@ class Simulator:
     # ------------------------------------------------------------------
     def initial_state(self, positions: np.ndarray, restart: str | None = None):
         if restart:
-            pos, vel, step, key = traj_io.load_restart(restart)
+            treedef = jax.tree.structure(self._init_aux)
+            pos, vel, step, key, extras = traj_io.load_restart(restart, treedef)
             P = jnp.asarray(pos, jnp.float32)
-            forces, aux = self._first_forces(P)
+            if "aux" in extras and "forces" in extras:
+                # bit-continuous restart: the checkpointed forces/energy/aux
+                # resume the trajectory exactly where it stopped
+                aux = jax.tree.map(jnp.asarray, extras["aux"])
+                forces = jnp.asarray(extras["forces"], jnp.float32)
+                energy = jnp.asarray(extras.get("energy", 0.0), jnp.float32)
+            else:
+                # legacy checkpoint: recompute forces from a fresh aux
+                forces, aux = self._first_forces(P)
+                energy = jnp.asarray(0.0)
             return L.MDState(
                 positions=P,
                 velocities=jnp.asarray(vel, jnp.float32),
                 forces=forces,
-                energy=jnp.asarray(0.0),
+                energy=energy,
                 key=jnp.asarray(key, jnp.uint32),
                 step=jnp.asarray(step, jnp.int32),
                 aux=aux,
@@ -180,14 +192,19 @@ class Simulator:
         n_steps: int,
         log=print,
         record_subset: np.ndarray | None = None,
+        traj_suffix: str = "",
     ) -> L.MDState:
         """Production run with trajectory recording every record interval."""
         cfg = self.cfg
         writers = []
         subset = record_subset
         numbers = self.numbers if subset is None else self.numbers[subset]
-        xyz_path = os.path.join(self.log_dir, f"{self.prot_name}-traj.xyz")
-        dcd_path = os.path.join(self.log_dir, f"{self.prot_name}-traj.dcd")
+        xyz_path = os.path.join(
+            self.log_dir, f"{self.prot_name}-traj{traj_suffix}.xyz"
+        )
+        dcd_path = os.path.join(
+            self.log_dir, f"{self.prot_name}-traj{traj_suffix}.dcd"
+        )
         if cfg.write_xyz or cfg.write_dcd:
             try:
                 # native background-thread writer (C++ runtime); file IO
@@ -199,6 +216,7 @@ class Simulator:
                         dcd_path if cfg.write_dcd else None,
                         xyz_path if cfg.write_xyz else None,
                         numbers, cfg.timestep_fs, cfg.record_per_steps,
+                        cell=self.cell,
                     )
                 )
             except (RuntimeError, OSError):
@@ -208,7 +226,7 @@ class Simulator:
                     writers.append(
                         traj_io.DCDTrajectory(
                             dcd_path, len(numbers), cfg.timestep_fs,
-                            cfg.record_per_steps,
+                            cfg.record_per_steps, cell=self.cell,
                         )
                     )
 
@@ -258,6 +276,9 @@ class Simulator:
                     state.velocities,
                     step,
                     state.key,
+                    forces=state.forces,
+                    energy=state.energy,
+                    aux=state.aux,
                 )
         finally:
             metrics.close()

@@ -49,7 +49,7 @@ def _load():
         lib.traj_open.restype = ctypes.c_void_p
         lib.traj_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
-            ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
         ]
         lib.traj_write.restype = ctypes.c_int
         lib.traj_write.argtypes = [
@@ -76,7 +76,8 @@ class AsyncTrajectoryWriter:
     reference's WorkQueue deferred-write trick (utils.py:95-105)."""
 
     def __init__(self, dcd_path: str | None, xyz_path: str | None,
-                 numbers, timestep_fs: float = 1.0, save_interval: int = 1):
+                 numbers, timestep_fs: float = 1.0, save_interval: int = 1,
+                 cell=None):
         import numpy as np
 
         from ai2bmd_tpu.io.pdb import SYMBOLS
@@ -87,10 +88,15 @@ class AsyncTrajectoryWriter:
         self._lib = lib
         self.n_atoms = len(numbers)
         symbols = " ".join(SYMBOLS[z] for z in numbers)
+        if cell is not None:
+            cell_arr = np.ascontiguousarray(cell, dtype=np.float64)
+            cell_ptr = cell_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        else:
+            cell_ptr = None
         self._h = lib.traj_open(
             (dcd_path or "").encode(), (xyz_path or "").encode(),
             self.n_atoms, float(timestep_fs), int(save_interval),
-            symbols.encode(),
+            symbols.encode(), cell_ptr,
         )
         if not self._h:
             raise OSError(f"could not open trajectory outputs {dcd_path}/{xyz_path}")

@@ -10,7 +10,9 @@
 // C ABI (used from Python via ctypes):
 //   void* traj_open(const char* dcd_path, const char* xyz_path,
 //                   int n_atoms, double timestep_fs, int save_interval,
-//                   const char* symbols /* space-separated, for xyz */);
+//                   const char* symbols /* space-separated, for xyz */,
+//                   const double* cell /* 3 orthorhombic box lengths, or
+//                                         NULL for no unit-cell records */);
 //   int   traj_write(void* h, const float* xyz, double energy, long step);
 //   long  traj_pending(void* h);
 //   void  traj_close(void* h);   // drains the queue, patches headers
@@ -40,6 +42,8 @@ struct DcdFile {
   FILE* f = nullptr;
   int n_atoms = 0;
   int n_frames = 0;
+  bool has_cell = false;
+  double cell[3] = {0, 0, 0};  // orthorhombic box lengths (Angstrom)
 
   static void record(FILE* f, const void* payload, uint32_t n) {
     fwrite(&n, 4, 1, f);
@@ -47,10 +51,15 @@ struct DcdFile {
     fwrite(&n, 4, 1, f);
   }
 
-  bool open(const char* path, int natoms, double timestep_fs, int interval) {
+  bool open(const char* path, int natoms, double timestep_fs, int interval,
+            const double* box) {
     f = fopen(path, "wb");
     if (!f) return false;
     n_atoms = natoms;
+    if (box) {
+      has_cell = true;
+      for (int i = 0; i < 3; ++i) cell[i] = box[i];
+    }
     // header: "CORD" + 20 int control block
     char hdr[4 + 20 * 4];
     memcpy(hdr, "CORD", 4);
@@ -58,6 +67,7 @@ struct DcdFile {
     icntrl[2] = interval;
     float delta = static_cast<float>(timestep_fs * interval / 48.88821);
     memcpy(&icntrl[9], &delta, 4);
+    icntrl[10] = has_cell ? 1 : 0;  // CHARMM unit-cell-per-frame flag
     icntrl[19] = 24;
     memcpy(hdr + 4, icntrl, 80);
     record(f, hdr, sizeof(hdr));
@@ -73,6 +83,11 @@ struct DcdFile {
   }
 
   void write(const Frame& fr) {
+    if (has_cell) {
+      // CHARMM XTLABC: a, cos(gamma), b, cos(beta), cos(alpha), c
+      double xtl[6] = {cell[0], 0.0, cell[1], 0.0, 0.0, cell[2]};
+      record(f, xtl, sizeof(xtl));
+    }
     std::vector<float> axis(n_atoms);
     for (int c = 0; c < 3; ++c) {
       for (int i = 0; i < n_atoms; ++i) axis[i] = fr.xyz[3 * i + c];
@@ -160,11 +175,12 @@ struct Writer {
 extern "C" {
 
 void* traj_open(const char* dcd_path, const char* xyz_path, int n_atoms,
-                double timestep_fs, int save_interval, const char* symbols) {
+                double timestep_fs, int save_interval, const char* symbols,
+                const double* cell /* 3 box lengths or NULL */) {
   auto* w = new Writer();
   w->n_atoms = n_atoms;
   if (dcd_path && dcd_path[0]) {
-    if (!w->dcd.open(dcd_path, n_atoms, timestep_fs, save_interval)) {
+    if (!w->dcd.open(dcd_path, n_atoms, timestep_fs, save_interval, cell)) {
       delete w;
       return nullptr;
     }

@@ -136,6 +136,7 @@ class ProteinSimulation:
                 hbond_restraint=hbond,
                 stateful=True,
                 init_aux=init_aux,
+                cell=full.cell,
             )
             if not write_solvent:
                 record_subset = qm_idx
@@ -186,7 +187,10 @@ class ProteinSimulation:
             + f" simulation for {simulation_steps} steps"
         )
         state = self.sim.run(
-            state, simulation_steps, log=log, record_subset=self.record_subset
+            state, simulation_steps, log=log, record_subset=self.record_subset,
+            # a restarted run writes {prot}-traj-restart.* instead of
+            # truncating the original trajectory (reference simulator.py:119)
+            traj_suffix="-restart" if restart else "",
         )
         log("Simulation finished!")
         return state

