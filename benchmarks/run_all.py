@@ -31,10 +31,10 @@ PROTEINS = {
 }
 
 
-def bench_one(name: str, path: str, steps: int):
-    """NOTE: runs at the platform-default matmul precision (bf16 passes on
-    TPU).  Set jax_default_matmul_precision=float32 for the fidelity mode;
-    bench.py reports that configuration."""
+def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
+    """Runs at the requested matmul precision (default float32, the fidelity
+    mode bench.py reports; pass --precision default for TPU bf16 passes).
+    Every output line carries its precision so results stay comparable."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,6 +45,9 @@ def bench_one(name: str, path: str, steps: int):
     from ai2bmd_tpu.models import visnet as V
     from ai2bmd_tpu.potentials import FragmentPotential
     from ai2bmd_tpu.system import Protein
+
+    if precision != "default":
+        jax.config.update("jax_default_matmul_precision", precision)
 
     atoms = normalize_atom_order(read_pdb(path))
     full = Protein.from_atoms(atoms)
@@ -105,7 +108,7 @@ def bench_one(name: str, path: str, steps: int):
     per_step = best / steps
     return {
         "config": name,
-        "matmul_precision": "default",
+        "matmul_precision": precision,
         "n_atoms": len(full),
         "ms_per_step": round(1e3 * per_step, 3),
         "ns_day": round(86.4 / per_step / 1e3, 3),
@@ -118,9 +121,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--configs", type=str, default="chig,trpcage,ww,abd")
+    ap.add_argument(
+        "--precision", type=str, default="float32",
+        help="matmul precision: float32 (fidelity, default) or 'default' "
+             "(platform default; bf16 passes on TPU)",
+    )
     args = ap.parse_args()
     for name in args.configs.split(","):
-        print(json.dumps(bench_one(name, PROTEINS[name], args.steps)), flush=True)
+        print(
+            json.dumps(
+                bench_one(name, PROTEINS[name], args.steps, args.precision)
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
