@@ -39,6 +39,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+# In-kernel matmul precision for the MXU edge matmuls.  Modes
+# (AI2BMD_KERNEL_MM_PRECISION):
+#   ""/"highest" — full f32 (Mosaic native; 6-pass-equivalent MXU rate)
+#   "b3"         — manual 3-pass bf16 error compensation (equivalent to
+#                  XLA's HIGH, which this Mosaic toolchain does not accept
+#                  as a dot attribute): x and w are split into bf16
+#                  hi + lo halves and x@w = xh@wh + xh@wl + xl@wh with f32
+#                  accumulation.  ~1.5x faster end-to-end; measured force
+#                  deviation vs full f32 is ~1e-6 eV/A on the production
+#                  model (benchmarks/kernel_precision.py) — three orders
+#                  of magnitude under the 1e-3 fidelity bar.
+#   "default"    — single-pass bf16 (fastest; ~2.5e-3 eV/A force shift —
+#                  above the fidelity bar, throughput experiments only)
+import os as _os
+
+_MODE = _os.environ.get("AI2BMD_KERNEL_MM_PRECISION", "b3")
+_PREC = {
+    "b3": None, "": None, "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[_MODE]
+
+
+def _split_b16(x):
+    """x -> (hi, lo) f32 arrays whose values are exactly bf16-representable
+    (hi + lo reproduces x to ~2^-16 relative).  This Mosaic toolchain
+    rejects bf16 dot operands outright ("Bad lhs type"), so each pass is
+    expressed as an f32 dot at DEFAULT precision: the MXU truncates f32
+    operands to bf16 per pass, which is EXACT on bf16-representable values."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    hi = x.astype(bf16).astype(f32)
+    lo = (x - hi).astype(bf16).astype(f32)
+    return hi, lo
+
+
+def _dot1(x, w):
+    return jnp.dot(
+        x, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _mm(x, w):
+    if _MODE == "b3":
+        xh, xl = _split_b16(x)
+        wh, wl = _split_b16(w)
+        return _dot1(xh, wh) + _dot1(xh, wl) + _dot1(xl, wh)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_PREC)
+
+
 def _kernel_full(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
                  adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
                  wt_ref, wsrc_ref, wf_ref, bf_ref,
@@ -57,7 +107,7 @@ def _kernel_full(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     E = TI * A
     edge = edge_ref[0].reshape(E, H)
     f_out = jax.nn.silu(
-        jnp.dot(edge, wf_ref[...], preferred_element_type=f32) + bf_ref[...]
+        _mm(edge, wf_ref[...]) + bf_ref[...]
     )
     wt = wt_ref[0]                        # [S, TI, H]
     wsrc = wsrc_ref[0]                    # [S, A, H]
@@ -96,7 +146,7 @@ def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
 
     edge = edge_ref[0].reshape(E, H)
     dkv = jax.nn.silu(
-        jnp.dot(edge, wdkv_ref[...], preferred_element_type=f32) + bdkv_ref[...]
+        _mm(edge, wdkv_ref[...]) + bdkv_ref[...]
     )
     dk = dkv[:, :H]
     dv = dkv[:, H:]
@@ -111,10 +161,10 @@ def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
 
     qk = q_e * k_e * dk
     attn = jax.nn.silu(
-        jnp.dot(qk, pool, preferred_element_type=f32)
+        _mm(qk, pool)
     )                                     # [E, nh]
     # gate in full-H space to avoid narrow-minor shapes
-    attn_full = jnp.dot(attn, pool.T, preferred_element_type=f32)  # [E, H]
+    attn_full = _mm(attn, pool.T)  # [E, H]
     dist = dist_ref[0]                    # [TI, A]
     cut2 = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * (dist < cutoff)
     gate = edge_bcast(cut2 * adj_ref[0])
@@ -124,7 +174,7 @@ def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     v_ij = v_e * dv * attn_full
 
     s = jax.nn.silu(
-        jnp.dot(v_ij, ws_ref[...], preferred_element_type=f32) + bs_ref[...]
+        _mm(v_ij, ws_ref[...]) + bs_ref[...]
     )
     adj_e = edge_bcast(adj_ref[0])
     s1 = s[:, :H] * adj_e
@@ -352,10 +402,22 @@ def _dsilu(z):
 
 
 def _dotT(x, w):
-    """x @ w.T without materializing the transpose."""
-    return jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    """x @ w.T without materializing the transpose (same precision modes
+    as _mm)."""
+    f32 = jnp.float32
+
+    def dt(a, b, prec=_PREC):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            precision=prec,
+        )
+
+    if _MODE == "b3":
+        d = jax.lax.Precision.DEFAULT
+        xh, xl = _split_b16(x)
+        wh, wl = _split_b16(w)
+        return dt(xh, wh, d) + dt(xh, wl, d) + dt(xl, wh, d)
+    return dt(x, w)
 
 
 def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
@@ -384,7 +446,7 @@ def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
 
     # ---- forward recompute ----
     edge = edge_ref[0].reshape(E, H)
-    zdkv = jnp.dot(edge, wdkv_ref[...], preferred_element_type=f32) + bdkv_ref[...]
+    zdkv = _mm(edge, wdkv_ref[...]) + bdkv_ref[...]
     dkv = jax.nn.silu(zdkv)
     dk = dkv[:, :H]
     dv = dkv[:, H:]
@@ -393,8 +455,8 @@ def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     v_e = jbc(v_ref[0])
     pool = pool_ref[...]
     p = q_e * k_e * dk
-    a = jnp.dot(p, pool, preferred_element_type=f32)              # [E,nh]
-    attn_full = jnp.dot(jax.nn.silu(a), pool.T, preferred_element_type=f32)
+    a = _mm(p, pool)              # [E,nh]
+    attn_full = _mm(jax.nn.silu(a), pool.T)
     dist = dist_ref[0]
     inside = (dist < cutoff).astype(f32)
     cut = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * inside
@@ -402,7 +464,7 @@ def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     gate = ebc(cut * adj)
     g3 = attn_full * gate
     v_ij = v_e * dv * g3
-    zs = jnp.dot(v_ij, ws_ref[...], preferred_element_type=f32) + bs_ref[...]
+    zs = _mm(v_ij, ws_ref[...]) + bs_ref[...]
     s = jax.nn.silu(zs)
     adj_e = ebc(adj)
     s1 = s[:, :H] * adj_e
@@ -445,8 +507,8 @@ def _bwd_msg_kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     dcut = -0.5 * (math.pi / cutoff) * jnp.sin(dist * (math.pi / cutoff)) * inside
     gdist_ref[0] = (g_cut * dcut).astype(gdist_ref.dtype)
 
-    g_a = jnp.dot(g_attn_full, pool, preferred_element_type=f32) * _dsilu(a)
-    g_p = jnp.dot(g_a, pool.T, preferred_element_type=f32)
+    g_a = _mm(g_attn_full, pool) * _dsilu(a)
+    g_p = _mm(g_a, pool.T)
     gq_ref[0] = ((g_p * k_e * dk).reshape(TI, A, H).sum(axis=1)).astype(gq_ref.dtype)
     gk_ref[0] = gk_ref[0] + (
         (g_p * q_e * dk).reshape(TI, A, H).sum(axis=0)
@@ -479,7 +541,7 @@ def _bwd_upd_kernel(edge_ref, adj_ref, wt_ref, wsrc_ref, wf_ref, bf_ref,
         gwsrc_ref[...] = jnp.zeros_like(gwsrc_ref)
 
     edge = edge_ref[0].reshape(E, H)
-    zf = jnp.dot(edge, wf_ref[...], preferred_element_type=f32) + bf_ref[...]
+    zf = _mm(edge, wf_ref[...]) + bf_ref[...]
     fo = jax.nn.silu(zf)
     wt = wt_ref[0]      # [S,TI,H]
     ws = wsrc_ref[0]    # [S,A,H]

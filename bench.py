@@ -16,9 +16,13 @@ subtract the measured null-dispatch round trip (the dev tunnel to the TPU
 has high and variable per-call latency, so per-step cost must be amortized
 inside one program).
 
-The production numerics mode is float32 (matmul precision 'highest'); the
-bf16 path is faster but shifts forces by a few 1e-3 eV/A — above the 1e-3
-fidelity bar — and is reported as a secondary key.
+The production numerics mode is float32: XLA-side matmuls at precision
+'highest', and the Pallas edge kernels' MXU matmuls at 3-pass bf16 error
+compensation (equivalent to XLA's HIGH; measured max force deviation vs
+the full-f32 kernels is ~8.5e-6 eV/A on the production model —
+benchmarks/kernel_precision.py — three orders of magnitude under the 1e-3
+fidelity bar).  The single-pass bf16 path is faster still but shifts
+forces by a few 1e-3 eV/A and is reported only as a secondary key.
 """
 
 import json
