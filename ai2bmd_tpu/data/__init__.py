@@ -109,6 +109,15 @@ class FragmentTopology:
             "number_excluded", "excluded_list", "residue_pointers",
         ):
             setattr(self, field, raw[f"{name}/{field}"])
+        # CMAP fields (absent in assets converted before round 2)
+        try:
+            self.cmap_grids = raw[f"{name}/cmap_grids"]
+            self.cmap_index = raw[f"{name}/cmap_index"]
+            self.cmap_resolution = raw[f"{name}/cmap_resolution"]
+        except KeyError:
+            self.cmap_resolution = np.zeros((0,), np.int32)
+            self.cmap_grids = np.zeros((0, 0, 0), np.float64)
+            self.cmap_index = np.zeros((0, 6), np.int32)
         self.atom_names = [str(a) for a in raw[f"{name}/atom_names"]]
         self.residue_labels = [str(a) for a in raw[f"{name}/residue_labels"]]
         self.ntypes = int(raw[f"{name}/ntypes"])

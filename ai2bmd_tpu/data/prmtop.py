@@ -73,6 +73,11 @@ class Prmtop:
     dihedrals_noh: np.ndarray
     number_excluded: np.ndarray        # [natom]
     excluded_list: np.ndarray          # 0-based (may contain -1 placeholders)
+    # CMAP (ff19SB backbone phi/psi cross-term correction maps)
+    cmap_resolution: np.ndarray        # [n_types] grid points per axis
+    cmap_grids: np.ndarray             # [n_types, R, R] kcal/mol, phi-major,
+    #                                    grid point g <-> angle -pi + g*2pi/R
+    cmap_index: np.ndarray             # [n_terms, 6] = 5 atoms (0-based) + type
 
     # ------------------------------------------------------------------
     def residue_of_atom(self) -> np.ndarray:
@@ -169,6 +174,46 @@ def load_prmtop(path: str) -> Prmtop:
         dihedrals_noh=_dihedrals(sec, with_h=False),
         number_excluded=ints("NUMBER_EXCLUDED_ATOMS").astype(np.int32),
         excluded_list=(ints("EXCLUDED_ATOMS_LIST") - 1).astype(np.int32),
+        **_cmap_sections(sec),
+    )
+
+
+def _cmap_sections(sec) -> dict:
+    """CMAP sections (ff19SB): CMAP_COUNT = (n_terms, n_types);
+    CMAP_RESOLUTION = grid points per type; CMAP_PARAMETER_XX = R*R energies
+    (kcal/mol) for type XX, phi-major with grid point 0 at -180 deg;
+    CMAP_INDEX = 5 atoms (1-based, NOT 3*index like the bonded sections)
+    plus the 1-based type."""
+    empty = dict(
+        cmap_resolution=np.zeros((0,), np.int32),
+        cmap_grids=np.zeros((0, 0, 0), np.float64),
+        cmap_index=np.zeros((0, 6), np.int32),
+    )
+    if "CMAP_COUNT" not in sec:
+        return empty
+    vals = np.array(" ".join(sec["CMAP_COUNT"]).split(), dtype=np.int64)
+    n_terms, n_types = int(vals[0]), int(vals[1])
+    if n_terms == 0 or n_types == 0:
+        return empty
+    res = np.array(
+        " ".join(sec["CMAP_RESOLUTION"]).split(), dtype=np.int64
+    ).astype(np.int32)
+    R = int(res.max())
+    grids = np.zeros((n_types, R, R), np.float64)
+    for t in range(n_types):
+        raw = np.array(
+            " ".join(sec[f"CMAP_PARAMETER_{t + 1:02d}"]).split(), dtype=np.float64
+        )
+        r = int(res[t])
+        grids[t, :r, :r] = raw.reshape(r, r)
+    idx = np.array(
+        " ".join(sec["CMAP_INDEX"]).split(), dtype=np.int64
+    ).reshape(-1, 6)
+    idx = idx - 1                         # atoms and type to 0-based
+    return dict(
+        cmap_resolution=res,
+        cmap_grids=grids,
+        cmap_index=idx.astype(np.int32),
     )
 
 

@@ -62,6 +62,10 @@ class SystemTopology:
     pairs14: np.ndarray          # [P,2] 1-4 pairs (scaled)
     water_oxygens: np.ndarray    # [W] int32 indices
     protein_atoms: np.ndarray    # indices of protein atoms
+    # ff19SB CMAP backbone phi/psi correction terms
+    cmap_atoms: np.ndarray = None   # [M,5] C(-1) N CA C N(+1)
+    cmap_type: np.ndarray = None    # [M] index into cmap_grids
+    cmap_grids: np.ndarray = None   # [T,R,R] kcal/mol, phi-major, -180 deg origin
 
 
 def _residue_spans(atoms: PDBAtoms):
@@ -104,6 +108,11 @@ def build_topology(atoms: PDBAtoms) -> SystemTopology:
     seen_bonds, seen_angles, seen_dih = set(), set(), set()
     water_oxygens = []
     protein_atoms = []
+    # CMAP: per-residue grids are deduplicated on their values so the global
+    # table holds one copy per distinct map (ff19SB: one map per residue class)
+    cmap_atoms, cmap_type = [], []
+    cmap_grid_list, cmap_grid_key = [], {}
+    seen_cmap = set()
 
     protein_spans = [
         (idx, s, e) for idx, ((s, e), kind) in enumerate(zip(spans, res_kind))
@@ -216,6 +225,19 @@ def build_topology(atoms: PDBAtoms) -> SystemTopology:
                 dih_n.append(top.dihedral_n[t])
                 dih_phase.append(top.dihedral_phase[t])
 
+        for row in top.cmap_index:
+            g = try_map(row[:5])
+            if g is None or g in seen_cmap:
+                continue
+            seen_cmap.add(g)
+            grid = top.cmap_grids[row[5]]
+            key = grid.tobytes()
+            if key not in cmap_grid_key:
+                cmap_grid_key[key] = len(cmap_grid_list)
+                cmap_grid_list.append(grid)
+            cmap_atoms.append(g)
+            cmap_type.append(cmap_grid_key[key])
+
     # water + ions
     for (s, e), kind in zip(spans, res_kind):
         if kind == "water":
@@ -278,4 +300,10 @@ def build_topology(atoms: PDBAtoms) -> SystemTopology:
         pairs14=arr(sorted(p14), np.int32).reshape(-1, 2),
         water_oxygens=arr(water_oxygens, np.int32),
         protein_atoms=arr(sorted(protein_atoms), np.int32),
+        cmap_atoms=arr(cmap_atoms, np.int32).reshape(-1, 5),
+        cmap_type=arr(cmap_type, np.int32),
+        cmap_grids=(
+            np.stack(cmap_grid_list)
+            if cmap_grid_list else np.zeros((0, 24, 24))
+        ),
     )

@@ -62,6 +62,10 @@ class MMSystem:
     e_self: float         # eV
     e_neutral: float      # eV
     polarization: Any = None   # optional PolarizationParams (AMOEBA-class)
+    # ff19SB CMAP cross-terms (None/empty when the topology carries none)
+    cmap_atoms: Any = None     # [M,5] int32: C(-1) N CA C N(+1)
+    cmap_type: Any = None      # [M] int32
+    cmap_coeffs: Any = None    # [T,R,R,4,4] bicubic coefficients, eV
 
     @classmethod
     def build(
@@ -99,6 +103,14 @@ class MMSystem:
 
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         i32 = lambda a: jnp.asarray(a, jnp.int32)
+
+        cmap_atoms = cmap_type = cmap_coeffs = None
+        top_cmap = getattr(top, "cmap_atoms", None)
+        if top_cmap is not None and len(top_cmap):
+            cmap_atoms = i32(top.cmap_atoms)
+            cmap_type = i32(top.cmap_type)
+            cmap_coeffs = f32(cmap_bicubic_coeffs(top.cmap_grids) * KCAL)
+
         return cls(
             n_atoms=top.n_atoms,
             cell=f32(cell),
@@ -126,7 +138,102 @@ class MMSystem:
             e_self=e_self,
             e_neutral=e_neutral,
             polarization=polarization,
+            cmap_atoms=cmap_atoms,
+            cmap_type=cmap_type,
+            cmap_coeffs=cmap_coeffs,
         )
+
+
+def cmap_bicubic_coeffs(grids: np.ndarray) -> np.ndarray:
+    """Periodic bicubic (Hermite) spline coefficients for CMAP grids.
+
+    grids [T,R,R] kcal/mol, phi-major rows, grid point g at angle
+    -180 + g*360/R deg (the AMBER prmtop CMAP convention, as written by
+    tleap for ff19SB; the same grid-plus-finite-difference-derivatives
+    construction CHARMM and OpenMM's CMAPTorsionForce use).  Node
+    derivatives come from centered differences on the periodic grid,
+    expressed in normalized cell units, so the resulting surface is C1 and
+    exactly interpolates the node values.
+
+    Returns [T,R,R,4,4]: cell (i,j) evaluates as
+    E(t,u) = sum_{m,n} C[i,j,m,n] t^m u^n for local coords t,u in [0,1).
+    """
+    grids = np.asarray(grids, np.float64)
+    if grids.size == 0:
+        return np.zeros((0, 0, 0, 4, 4))
+    f = grids
+    # normalized-derivative stencils (d/dt = h * d/dphi absorbed into units)
+    fp = (np.roll(f, -1, axis=1) - np.roll(f, 1, axis=1)) / 2.0      # d/dphi
+    fs = (np.roll(f, -1, axis=2) - np.roll(f, 1, axis=2)) / 2.0      # d/dpsi
+    fps = (np.roll(fp, -1, axis=2) - np.roll(fp, 1, axis=2)) / 2.0   # cross
+
+    def corners(a):
+        a10 = np.roll(a, -1, axis=1)
+        a01 = np.roll(a, -1, axis=2)
+        a11 = np.roll(a10, -1, axis=2)
+        return a, a10, a01, a11
+
+    f00, f10, f01, f11 = corners(f)
+    p00, p10, p01, p11 = corners(fp)
+    s00, s10, s01, s11 = corners(fs)
+    x00, x10, x01, x11 = corners(fps)
+    # F layout: rows = [value(t=0), value(t=1), d/dt(0), d/dt(1)],
+    #           cols = [u=0, u=1, d/du(0), d/du(1)]
+    F = np.stack(
+        [
+            np.stack([f00, f01, s00, s01], axis=-1),
+            np.stack([f10, f11, s10, s11], axis=-1),
+            np.stack([p00, p01, x00, x01], axis=-1),
+            np.stack([p10, p11, x10, x11], axis=-1),
+        ],
+        axis=-2,
+    )                                                   # [T,R,R,4,4]
+    B = np.array(
+        [[1, 0, 0, 0], [0, 0, 1, 0], [-3, 3, -2, -1], [2, -2, 1, 1]],
+        np.float64,
+    )
+    return np.einsum("mi,tpqij,nj->tpqmn", B, F, B)
+
+
+def _dihedral_angle(p0, p1, p2, p3, cell=None):
+    """Signed dihedral in (-pi, pi] (same convention as bonded_energy)."""
+    v0 = _pbc_diff(p1 - p2, cell) if cell is not None else p1 - p2
+    v1 = _pbc_diff(p1 - p0, cell) if cell is not None else p1 - p0
+    v2 = _pbc_diff(p3 - p2, cell) if cell is not None else p3 - p2
+    n1 = _safe_unit(jnp.cross(v1, v0))
+    n2 = _safe_unit(jnp.cross(v0, v2))
+    m1 = jnp.cross(n1, _safe_unit(v0))
+    x = jnp.sum(n1 * n2, axis=-1)
+    y = jnp.sum(m1 * n2, axis=-1)
+    ok = (x * x + y * y) > 1e-12
+    return jnp.arctan2(jnp.where(ok, y, 0.0), jnp.where(ok, x, 1.0))
+
+
+def cmap_energy(mm: "MMSystem", P: jnp.ndarray, cell=None) -> jnp.ndarray:
+    """ff19SB CMAP correction: bicubic-interpolated E(phi, psi) per term.
+
+    The reference obtains these terms implicitly through sander/Tinker
+    (src/AIMD/preprocess.py:111-177 builds ff19SB topologies); here they are
+    part of the differentiable MM energy.  Gradient flows through phi/psi
+    analytically; the spline is C1 so forces are continuous across cells.
+    """
+    a = mm.cmap_atoms
+    R = mm.cmap_coeffs.shape[1]
+    phi = _dihedral_angle(P[a[:, 0]], P[a[:, 1]], P[a[:, 2]], P[a[:, 3]], cell)
+    psi = _dihedral_angle(P[a[:, 1]], P[a[:, 2]], P[a[:, 3]], P[a[:, 4]], cell)
+
+    def locate(angle):
+        x = (angle + jnp.pi) * (R / (2.0 * jnp.pi))
+        xi = jnp.floor(x)
+        t = x - xi
+        return jnp.mod(xi.astype(jnp.int32), R), t
+
+    gi, t = locate(phi)
+    gj, u = locate(psi)
+    C = mm.cmap_coeffs[mm.cmap_type, gi, gj]            # [M,4,4]
+    tp = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1)
+    up = jnp.stack([jnp.ones_like(u), u, u * u, u * u * u], axis=-1)
+    return jnp.einsum("mij,mi,mj->", C, tp, up)
 
 
 def _safe_norm(v, axis=-1, eps=1e-12):
@@ -168,6 +275,8 @@ def bonded_energy(mm: MMSystem, P: jnp.ndarray, cell=None) -> jnp.ndarray:
         ok = (x * x + y * y) > 1e-12
         phi = jnp.arctan2(jnp.where(ok, y, 0.0), jnp.where(ok, x, 1.0))
         e = e + jnp.sum(mm.dih_k * (1.0 + jnp.cos(mm.dih_n * phi - mm.dih_phase)))
+    if mm.cmap_atoms is not None and mm.cmap_atoms.shape[0]:
+        e = e + cmap_energy(mm, P, cell)
     return e
 
 

@@ -52,6 +52,14 @@ def _subsystem_topology(top: SystemTopology, idx: np.ndarray) -> SystemTopology:
     dih, dk, dn, dp = keep_terms(top.dihedrals, top.dih_k, top.dih_n, top.dih_phase)
     excl, = keep_terms(top.excl_pairs)
     p14, = keep_terms(top.pairs14)
+    # CMAP must subset too: the subtractive combiner relies on the protein
+    # MM evaluation carrying the SAME terms as the full one so they cancel
+    cmap_atoms = np.zeros((0, 5), np.int32)
+    cmap_type = np.zeros((0,), np.int32)
+    cmap_grids = np.zeros((0, 24, 24))
+    if top.cmap_atoms is not None and len(top.cmap_atoms):
+        cmap_atoms, cmap_type = keep_terms(top.cmap_atoms, top.cmap_type)
+        cmap_grids = top.cmap_grids
     return SystemTopology(
         n_atoms=len(idx),
         charges=top.charges[idx], sigmas=top.sigmas[idx],
@@ -62,6 +70,7 @@ def _subsystem_topology(top: SystemTopology, idx: np.ndarray) -> SystemTopology:
         excl_pairs=excl, pairs14=p14,
         water_oxygens=np.zeros(0, np.int32),
         protein_atoms=np.arange(len(idx), dtype=np.int32),
+        cmap_atoms=cmap_atoms, cmap_type=cmap_type, cmap_grids=cmap_grids,
     )
 
 

@@ -186,3 +186,99 @@ def test_water_box_nve_stability():
     # 150 K water motion (H atoms move ~1 A) a 1.6 A skin does
     assert not bool(needs_rebuild(nl, nl.ref_pos, 1.6, mm.cell))
     assert bool(needs_rebuild(nl, state.positions, 1.6, mm.cell))
+
+
+# ---------------------------------------------------------------------------
+# CMAP (ff19SB backbone phi/psi correction maps)
+# ---------------------------------------------------------------------------
+
+def _chig_cmap_system():
+    conftest.require_examples()
+    atoms = read_pdb(conftest.example_pdb("chig-preeq"))
+    top = build_topology(atoms)
+    mm = MM.MMSystem.build(top, atoms.cell, cutoff=8.0)
+    return atoms, top, mm
+
+
+def test_cmap_terms_collected():
+    """Chignolin (10 residues incl. terminal caps) must carry one CMAP term
+    per non-cap residue with both backbone neighbors present."""
+    _, top, _ = _chig_cmap_system()
+    # ACE-YYDPETGTWY-NME: every one of the 10 standard residues has a
+    # C(-1) N CA C N(+1) tuple
+    assert top.cmap_atoms.shape == (10, 5)
+    assert top.cmap_grids.shape[1:] == (24, 24)
+    # maps deduplicate by content: GLY/PRO/generic classes < terms
+    assert top.cmap_grids.shape[0] <= 10
+    # every term references protein atoms
+    assert np.all(np.isin(top.cmap_atoms, top.protein_atoms))
+
+
+def test_cmap_bicubic_interpolates_nodes_and_is_periodic(rng):
+    """The spline must reproduce the grid values exactly at the nodes,
+    be 2pi-periodic, and be C1 (continuous value across cell edges)."""
+    R = 24
+    g = rng.standard_normal((1, R, R)) * 2.0
+    C = MM.cmap_bicubic_coeffs(g)
+
+    def ev(phi, psi):
+        x = (phi + np.pi) * R / (2 * np.pi)
+        u_ = (psi + np.pi) * R / (2 * np.pi)
+        gi, t = int(np.floor(x)) % R, x - np.floor(x)
+        gj, u = int(np.floor(u_)) % R, u_ - np.floor(u_)
+        tp = np.array([1, t, t**2, t**3])
+        up = np.array([1, u, u**2, u**3])
+        return float(tp @ C[0, gi, gj] @ up)
+
+    h = 2 * np.pi / R
+    for (i, j) in [(0, 0), (3, 17), (23, 5)]:
+        phi, psi = -np.pi + i * h, -np.pi + j * h
+        assert abs(ev(phi, psi) - g[0, i, j]) < 1e-10
+        # periodicity
+        assert abs(ev(phi + 2 * np.pi, psi) - g[0, i, j]) < 1e-9
+    # continuity across a cell edge
+    phi_edge = -np.pi + 7 * h
+    lo = ev(phi_edge - 1e-9, 0.3)
+    hi = ev(phi_edge + 1e-9, 0.3)
+    assert abs(lo - hi) < 1e-5
+
+
+def test_cmap_energy_and_forces(rng):
+    """In-graph CMAP: energy matches the host-side spline at the actual
+    phi/psi, and analytic forces match numerical differentiation."""
+    atoms, top, mm = _chig_cmap_system()
+    P = jnp.asarray(atoms.positions, jnp.float32)
+
+    e = float(jax.jit(lambda p: MM.cmap_energy(mm, p))(P))
+    assert np.isfinite(e)
+    # energy scale: corrections are O(kcal/mol) per residue
+    assert abs(e) < 10 * 10 * float(units.kcal_per_mol)
+
+    # the term must contribute to bonded_energy
+    e_with = float(jax.jit(lambda p: MM.bonded_energy(mm, p))(P))
+    mm_no = MM.MMSystem.build(
+        SystemTopology(**{
+            **{f.name: getattr(top, f.name) for f in
+               __import__("dataclasses").fields(SystemTopology)},
+            "cmap_atoms": np.zeros((0, 5), np.int32),
+            "cmap_type": np.zeros((0,), np.int32),
+            "cmap_grids": np.zeros((0, 24, 24)),
+        }),
+        atoms.cell, cutoff=8.0,
+    )
+    e_without = float(jax.jit(lambda p: MM.bonded_energy(mm_no, p))(P))
+    np.testing.assert_allclose(e_with - e_without, e, rtol=1e-4, atol=1e-4)
+
+    # numerical force check on a few coordinates of CMAP atoms
+    g = jax.jit(jax.grad(lambda p: MM.cmap_energy(mm, p)))(P)
+    g = np.asarray(g)
+    eps = 1e-2
+    f64 = np.asarray(P, np.float64)
+    for (ai, c) in [(int(top.cmap_atoms[0, 1]), 0),
+                    (int(top.cmap_atoms[4, 2]), 1)]:
+        pp = f64.copy(); pp[ai, c] += eps
+        pm = f64.copy(); pm[ai, c] -= eps
+        e_p = float(MM.cmap_energy(mm, jnp.asarray(pp, jnp.float32)))
+        e_m = float(MM.cmap_energy(mm, jnp.asarray(pm, jnp.float32)))
+        num = (e_p - e_m) / (2 * eps)
+        assert abs(num - g[ai, c]) < 5e-3 + 0.05 * abs(num), (num, g[ai, c])

@@ -59,3 +59,62 @@ def test_subsystem_topology_consistency():
     assert len(sub.dihedrals) == len(nowat.dihedrals)
     assert len(sub.excl_pairs) == len(nowat.excl_pairs)
     np.testing.assert_allclose(sub.charges, nowat.charges, atol=1e-6)
+
+
+def test_cmap_cancels_in_subtraction():
+    """The subtractive combiner must see identical protein CMAP terms in
+    the full-box and protein-only MM systems, so the correction cancels
+    exactly in E = mm2 + qm - mm1 (the ML potential owns the backbone
+    physics)."""
+    conftest.require_examples()
+    import jax
+    import jax.numpy as jnp
+
+    from ai2bmd_tpu.data.protein_topology import build_topology
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.physics import mm as MM
+    from ai2bmd_tpu.physics.qmmm import _subsystem_topology
+
+    atoms = read_pdb(conftest.example_pdb("chig-preeq"))
+    top = build_topology(atoms)
+    sub = _subsystem_topology(top, top.protein_atoms)
+    assert len(sub.cmap_atoms) == len(top.cmap_atoms) == 10
+    mm_full = MM.MMSystem.build(top, atoms.cell, cutoff=8.0)
+    mm_prot = MM.MMSystem.build(sub, atoms.cell, cutoff=8.0)
+    P = jnp.asarray(atoms.positions, jnp.float32)
+    e_full = float(jax.jit(lambda p: MM.cmap_energy(mm_full, p))(P))
+    e_prot = float(
+        jax.jit(lambda p: MM.cmap_energy(mm_prot, p))(P[top.protein_atoms])
+    )
+    np.testing.assert_allclose(e_full, e_prot, rtol=1e-6, atol=1e-6)
+
+
+def test_solvated_rigid_water_2fs(tmp_path):
+    """Rigid-water (SETTLE) solvated QM/MM at 2 fs: constraints hold and
+    the box stays thermally sane (VERDICT round 1, item 8)."""
+    conftest.require_examples()
+    import jax.numpy as jnp
+
+    from ai2bmd_tpu.md.settle import SettleConstraint
+
+    sim = ProteinSimulation.from_pdb(
+        conftest.example_pdb("chig-preeq"),
+        log_dir=str(tmp_path),
+        model_cfg=TINY,
+        sim_cfg=SimulationConfig(
+            timestep_fs=2.0, record_per_steps=2, preeq_steps=0,
+            runaway_factor=3.0, write_xyz=False, write_dcd=False,
+        ),
+        opt_iters=2,
+        rigid_water=True,
+    )
+    logs = []
+    state = sim.simulate(4, log=logs.append)
+    pos = np.asarray(state.positions)
+    assert np.all(np.isfinite(pos))
+    con = SettleConstraint.from_topology(sim.potential.top)
+    viol = float(con.max_violation(jnp.asarray(pos)))
+    assert viol < 5e-4, viol   # f32 positions; exact in f64
+    step_lines = [l for l in logs if "T = " in l]
+    temp = float(step_lines[-1].split("T = ")[1].split("K")[0])
+    assert 150.0 < temp < 500.0, temp

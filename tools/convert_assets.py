@@ -105,6 +105,7 @@ def convert_prmtops(reference: str):
             "bonds_h", "bonds_noh", "angles_h", "angles_noh",
             "dihedrals_h", "dihedrals_noh",
             "number_excluded", "excluded_list", "residue_pointers",
+            "cmap_resolution", "cmap_grids", "cmap_index",
         ):
             out[f"{name}/{field}"] = getattr(top, field)
         out[f"{name}/atom_names"] = np.array(top.atom_names)
