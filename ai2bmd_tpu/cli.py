@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="AMOEBA-class mutual induced-dipole polarization in "
                         "the solvent MM (fixed-iteration SOR induction)")
+    p.add_argument("--rigid-water", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="constrain waters with analytic SETTLE (rigid TIP3P "
+                        "geometry); enables stable 2 fs solvent stepping")
     p.add_argument("--mode", type=str, default="fragment",
                    choices=["fragment", "visnet"])
     p.add_argument("--fragment-longrange-calc", type=str, default="mm",
@@ -188,6 +192,7 @@ def main(argv=None) -> int:
         sim_cfg=sim_cfg,
         opt_iters=args.opt_iters,
         polarizable_mm=args.polarizable_mm,
+        rigid_water=args.rigid_water,
     )
     try:
         sim.simulate(args.sim_steps, restart=args.restart)

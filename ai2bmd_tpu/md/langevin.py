@@ -94,11 +94,16 @@ def langevin_step(
     masses,
     state: MDState,
     fixcm: bool = True,
+    constraint=None,
 ) -> MDState:
     """One Langevin step (two half-kicks around the position update).
 
     `potential` uses the stateful protocol (P, aux) -> (E, F, aux); wrap
-    plain potentials with lift_potential."""
+    plain potentials with lift_potential.  `constraint` (optional, e.g.
+    md.settle.SettleConstraint) provides .positions(x_old, x_new) and
+    .velocities(x, v): positions are projected after the drift (with the
+    corresponding velocity correction, RATTLE-style) and velocities after
+    the final kick."""
     m = jnp.asarray(masses, state.velocities.dtype)[:, None]
     key, k1, k2 = jax.random.split(state.key, 3)
     shape = state.positions.shape
@@ -109,12 +114,18 @@ def langevin_step(
     f = state.forces
     v = v + (coeffs.c1 * f / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
     x = state.positions + coeffs.dt * v + coeffs.c5 * eta
+    if constraint is not None:
+        x_c = constraint.positions(state.positions, x)
+        v = v + (x_c - x) / coeffs.dt
+        x = x_c
     if fixcm:
         shift = jnp.sum((x - state.positions) * m, axis=0) / jnp.sum(m)
         x = x - shift
 
     energy, f_new, aux = potential(x, state.aux)
     v = v + (coeffs.c1 * f_new / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
+    if constraint is not None:
+        v = constraint.velocities(x, v)
 
     return MDState(
         positions=x,
@@ -127,14 +138,22 @@ def langevin_step(
     )
 
 
-def velocity_verlet_step(potential, dt_fs: float, masses, state: MDState) -> MDState:
-    """NVE velocity-Verlet (for energy-conservation tests and NVE runs)."""
+def velocity_verlet_step(potential, dt_fs: float, masses, state: MDState,
+                         constraint=None) -> MDState:
+    """NVE velocity-Verlet (for energy-conservation tests and NVE runs);
+    with `constraint`, the constrained RATTLE variant."""
     dt = dt_fs * units.fs
     m = jnp.asarray(masses, state.velocities.dtype)[:, None]
     v_half = state.velocities + 0.5 * dt * state.forces / m
     x = state.positions + dt * v_half
+    if constraint is not None:
+        x_c = constraint.positions(state.positions, x)
+        v_half = v_half + (x_c - x) / dt
+        x = x_c
     energy, f_new, aux = potential(x, state.aux)
     v = v_half + 0.5 * dt * f_new / m
+    if constraint is not None:
+        v = constraint.velocities(x, v)
     return MDState(
         positions=x, velocities=v, forces=f_new, energy=energy,
         key=state.key, step=state.step + 1, aux=aux,

@@ -74,6 +74,7 @@ class Simulator:
         stateful: bool = False,
         init_aux=(),
         cell: np.ndarray | None = None,
+        constraint=None,
     ):
         self.cfg = cfg
         self.masses = jnp.asarray(masses, jnp.float32)
@@ -91,6 +92,7 @@ class Simulator:
         )
         self._init_aux = init_aux
         self._hbond = hbond_restraint
+        self._constraint = constraint   # e.g. settle.SettleConstraint
 
         def full_potential(P, aux, tether_ref, tether_k):
             e, f, aux = self._base_potential(P, aux)
@@ -111,6 +113,7 @@ class Simulator:
                     self.coeffs,
                     self.masses,
                     s,
+                    constraint=self._constraint,
                 )
                 return s, None
 
@@ -150,6 +153,11 @@ class Simulator:
         key, k_init = jax.random.split(key)
         P = jnp.asarray(positions, jnp.float32)
         vel = L.maxwell_boltzmann_velocities(k_init, self.masses, self.cfg.temp_K)
+        if self._constraint is not None:
+            # snap waters onto the rigid geometry; project the thermal
+            # velocities so d/dt(constraints) = 0 from step one
+            P = jax.jit(self._constraint.snap)(P)
+            vel = jax.jit(self._constraint.velocities)(P, vel)
         forces, aux = self._first_forces(P)
         return L.MDState(
             positions=P,

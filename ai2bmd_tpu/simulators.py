@@ -67,6 +67,7 @@ class ProteinSimulation:
         opt_iters: int = 10,
         warm_caps: bool = True,
         polarizable_mm: bool = False,
+        rigid_water: bool = False,
     ) -> "ProteinSimulation":
         prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
         log_dir = log_dir or os.path.join(os.getcwd(), f"Logs-{prot_name}")
@@ -126,6 +127,13 @@ class ProteinSimulation:
                     atoms, pot.energy_forces, polarizable=polarizable_mm
                 )
             init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
+            constraint = None
+            if rigid_water:
+                # rigid TIP3P (SETTLE): removes the O-H stretch modes so the
+                # solvated system steps stably at 2 fs
+                from ai2bmd_tpu.md.settle import SettleConstraint
+
+                constraint = SettleConstraint.from_topology(qmmm.top)
             sim = Simulator(
                 potential=qmmm,
                 masses=full.masses,
@@ -137,6 +145,7 @@ class ProteinSimulation:
                 stateful=True,
                 init_aux=init_aux,
                 cell=full.cell,
+                constraint=constraint,
             )
             if not write_solvent:
                 record_subset = qm_idx
