@@ -245,7 +245,7 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
     from ai2bmd_tpu.io.pdb import read_pdb
     from ai2bmd_tpu.io.reorder import normalize_atom_order
     from ai2bmd_tpu.models import visnet as V
-    from ai2bmd_tpu.parallel import EnsembleSimulation, make_mesh
+    from ai2bmd_tpu.parallel import EnsembleSimulation, ReplicaEnsemble, make_mesh
     from ai2bmd_tpu.simulators import load_model
     from ai2bmd_tpu.system import Protein
 
@@ -264,17 +264,32 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
     n_dev = len(jax.devices())
     n_dp = min(args.mesh_dp, n_dev)
     n_mp = args.mesh_mp if args.mesh_dp * args.mesh_mp == n_dev else n_dev // n_dp
-    mesh = make_mesh(n_dp, n_mp)
     log.info("ensemble mesh: dp=%d mp=%d, %d replicas", n_dp, n_mp, args.replicas)
 
-    ens = EnsembleSimulation.build(
-        full, fi, params, cfg, mesh,
-        n_replicas=args.replicas,
-        timestep_fs=args.timestep,
-        temp_K=float(args.temp_k),
-        steps_per_call=args.record_per_steps,
-        opt_iters=args.opt_iters,
-    )
+    if n_mp == 1:
+        # replica-batched engine: replicas fold into the fragment batch
+        # (flat memory via replica chunking, best MXU fill); dp shards
+        # replica blocks when more than one device is used
+        mesh = make_mesh(n_dp, 1) if n_dp > 1 else None
+        ens = ReplicaEnsemble.build(
+            full, fi, params, cfg,
+            n_replicas=args.replicas,
+            mesh=mesh,
+            timestep_fs=args.timestep,
+            temp_K=float(args.temp_k),
+            steps_per_call=args.record_per_steps,
+            warm_iters=max(2, args.opt_iters // 2),
+        )
+    else:
+        mesh = make_mesh(n_dp, n_mp)
+        ens = EnsembleSimulation.build(
+            full, fi, params, cfg, mesh,
+            n_replicas=args.replicas,
+            timestep_fs=args.timestep,
+            temp_K=float(args.temp_k),
+            steps_per_call=args.record_per_steps,
+            opt_iters=args.opt_iters,
+        )
     state = ens.initial_state(full.positions, temp_K=float(args.temp_k),
                               seed=args.seed)
     n_calls = max(1, args.sim_steps // args.record_per_steps)

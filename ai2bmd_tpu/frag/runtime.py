@@ -258,3 +258,99 @@ def initial_cap_delta(rt: FragmentRuntime, P: jnp.ndarray, n_iter: int = 10):
     pos_geo = build_row_positions(rt, P)
     pos = H.optimize_caps(rt.ht, pos_geo, n_iter=n_iter)
     return jnp.where(rt.is_cap[..., None], pos - pos_geo, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# replica-batched evaluation (ensemble MD: BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def batched_fragment_terms(params, rt: FragmentRuntime, pos, cfg):
+    """ViSNet + stitching over Rl replicas' optimized rows IN ONE CALL.
+
+    pos [Rl, B, S, 3] -> (E [Rl], F [Rl, N, 3]).  Instead of vmapping the
+    potential over replicas (which multiplies every O(A^2) edge tensor by
+    Rl with no reuse — the round-1 anti-scaling), the replica and row axes
+    fold into one batch: the MXU sees a [Rl*B] fragment batch, identical
+    math per replica, one kernel launch per layer."""
+    N = rt.static.n_atoms
+    Rl, B, S, _ = pos.shape
+
+    def bflat(a):
+        return jnp.broadcast_to(a, (Rl,) + a.shape).reshape((Rl * a.shape[0],) + a.shape[1:])
+
+    e_d, f_d = V.energy_and_forces(
+        params, bflat(rt.row_z), pos.reshape(Rl * B, S, 3), bflat(rt.valid), cfg
+    )
+    e_d = e_d.reshape(Rl, B)
+    f_d = f_d.reshape(Rl, B, S, 3)
+
+    ace_pos = pos[:, rt.ace_rows, rt.ace_slots]          # [Rl, C, 12, 3]
+    ace_pos = jnp.where(
+        rt.ace_mask16[..., None],
+        jnp.pad(ace_pos, ((0, 0), (0, 0), (0, 4), (0, 0))),
+        rt.ace_park,
+    )
+    C, S_A = rt.ace_z16.shape
+    e_a, f_a = V.energy_and_forces(
+        params, bflat(rt.ace_z16), ace_pos.reshape(Rl * C, S_A, 3),
+        bflat(rt.ace_mask16), cfg,
+    )
+    e_a = e_a.reshape(Rl, C)
+    f_a = f_a.reshape(Rl, C, S_A, 3)
+
+    energy = jnp.sum(e_d * rt.row_has_atoms, axis=1) - jnp.sum(
+        e_a * rt.ace_valid, axis=1
+    )
+    flat_src = jnp.concatenate(
+        [f_d.reshape(Rl, -1, 3), -f_a.reshape(Rl, -1, 3)], axis=1
+    )
+    flat_dst = jnp.concatenate(
+        [rt.dip_dst.reshape(-1), rt.ace_dst16.reshape(-1)]
+    )
+    forces = jax.vmap(
+        lambda s: jax.ops.segment_sum(s, flat_dst, num_segments=N + 1)[:N]
+    )(flat_src)
+    return energy, forces
+
+
+def ensemble_fragment_energy_forces_warm(
+    params,
+    rt: FragmentRuntime,
+    Ps: jnp.ndarray,
+    cfg,
+    cap_delta: jnp.ndarray,
+    warm_iters: int = 4,
+    replica_chunk: int = 8,
+):
+    """Warm-started fragment potential over Rl replicas.
+
+    Ps [Rl, N, 3]; cap_delta [Rl, B, S, 3].  Cap optimization runs
+    PER REPLICA (vmapped joint L-BFGS — numerically identical to the
+    single-replica path; replicas stay independent).  The ViSNet
+    evaluation is replica-batched and processed in `replica_chunk`-sized
+    chunks under lax.map: each chunk's force grad is internal to the
+    chunk, so peak memory is one chunk's layer residuals — flat in Rl —
+    while the MXU still sees chunk*B-row batches."""
+    free = rt.is_cap[..., None]
+    pos_geo = jax.vmap(lambda P: build_row_positions(rt, P))(Ps)
+    pos0 = pos_geo + jnp.where(free, cap_delta, 0.0)
+    pos = jax.lax.stop_gradient(
+        jax.vmap(lambda p: H.optimize_caps(rt.ht, p, n_iter=warm_iters))(pos0)
+    )
+    new_delta = jnp.where(free, pos - pos_geo, 0.0)
+
+    Rl = Ps.shape[0]
+    c = replica_chunk if replica_chunk > 0 else Rl
+    c = min(c, Rl)
+    if Rl % c:
+        c = Rl
+    chunks = pos.reshape(Rl // c, c, *pos.shape[1:])
+    e, f = jax.lax.map(
+        lambda p: batched_fragment_terms(params, rt, p, cfg), chunks
+    )
+    N = rt.static.n_atoms
+    return e.reshape(Rl), f.reshape(Rl, N, 3), new_delta
+
+
+def initial_cap_delta_batched(rt: FragmentRuntime, Ps, n_iter: int = 10):
+    return jax.vmap(lambda P: initial_cap_delta(rt, P, n_iter))(Ps)

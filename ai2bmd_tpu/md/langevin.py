@@ -138,6 +138,49 @@ def langevin_step(
     )
 
 
+def langevin_step_batched(
+    potential_batched: Callable,
+    coeffs: LangevinCoeffs,
+    masses,
+    state: MDState,
+    fixcm: bool = True,
+) -> MDState:
+    """Langevin step over a replica batch: every state leaf carries a
+    leading replica axis; `potential_batched` maps (Ps [R,N,3], aux) ->
+    (E [R], F [R,N,3], aux) so the force evaluation can batch across
+    replicas (frag.runtime.ensemble_fragment_energy_forces_warm) instead
+    of vmapping the whole potential.  Per-replica RNG streams are split
+    exactly like langevin_step does for a single replica, so a replica's
+    trajectory is bitwise the one it would follow alone."""
+    m = jnp.asarray(masses, state.velocities.dtype)[:, None]
+    keys = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)   # [R,3,2]
+    key, k1, k2 = keys[:, 0], keys[:, 1], keys[:, 2]
+    shape = state.positions.shape[1:]
+    xi = jax.vmap(lambda k: jax.random.normal(k, shape, state.positions.dtype))(k1)
+    eta = jax.vmap(lambda k: jax.random.normal(k, shape, state.positions.dtype))(k2)
+
+    v = state.velocities
+    f = state.forces
+    v = v + (coeffs.c1 * f / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
+    x = state.positions + coeffs.dt * v + coeffs.c5 * eta
+    if fixcm:
+        shift = jnp.sum((x - state.positions) * m, axis=1, keepdims=True) / jnp.sum(m)
+        x = x - shift
+
+    energy, f_new, aux = potential_batched(x, state.aux)
+    v = v + (coeffs.c1 * f_new / m - coeffs.c2 * v + coeffs.c3 * xi - coeffs.c4 * eta)
+
+    return MDState(
+        positions=x,
+        velocities=v,
+        forces=f_new,
+        energy=energy,
+        key=key,
+        step=state.step + 1,
+        aux=aux,
+    )
+
+
 def velocity_verlet_step(potential, dt_fs: float, masses, state: MDState,
                          constraint=None) -> MDState:
     """NVE velocity-Verlet (for energy-conservation tests and NVE runs);

@@ -163,6 +163,141 @@ class ShardedPotential:
 
 
 @dataclasses.dataclass
+class ReplicaEnsemble:
+    """n_replicas independent Langevin trajectories with a REPLICA-BATCHED
+    force evaluation (BASELINE config 5: 64 chig replicas per chip).
+
+    The round-1 approach — vmapping the full potential over replicas —
+    anti-scaled: every O(A^2) edge tensor multiplied by R, OOM without
+    remat, ~178 ms/replica-step at R=8.  Here the replica and fragment-row
+    axes fold into one ViSNet batch (frag.runtime.batched_fragment_terms),
+    evaluated in fixed-size replica chunks under lax.map so peak HBM is one
+    chunk's layer residuals regardless of R, while per-replica RNG/cap
+    streams stay bitwise those of a lone replica.  Replicas shard over the
+    mesh's dp axis; each device batches its local block.
+    """
+
+    mesh: Mesh | None
+    n_replicas: int
+    step_fn: Any
+    masses: Any
+
+    @classmethod
+    def build(
+        cls,
+        prot: Protein,
+        fi: FragmentIndex,
+        params: dict,
+        cfg: V.ViSNetConfig,
+        n_replicas: int,
+        mesh: Mesh | None = None,      # dp-sharded when given; 1 chip else
+        timestep_fs: float = 1.0,
+        temp_K: float = 300.0,
+        friction_per_fs: float = 0.001,
+        steps_per_call: int = 1,
+        warm_iters: int = 4,
+        replica_chunk: int = 8,
+    ) -> "ReplicaEnsemble":
+        from ai2bmd_tpu.frag.runtime import (
+            ensemble_fragment_energy_forces_warm,
+        )
+
+        cfg = V.resolve_config(cfg)
+        rt = FragmentRuntime.build(fi)
+        nb = NonbondedParams.build(prot, fi.exclusion_mask())
+        masses = jnp.asarray(prot.masses, jnp.float32)
+        coeffs = L.LangevinCoeffs.build(masses, timestep_fs, temp_K, friction_per_fs)
+
+        def batched_potential(Ps, deltas):
+            e_b, f_b, nd = ensemble_fragment_energy_forces_warm(
+                params, rt, Ps, cfg, deltas,
+                warm_iters=warm_iters, replica_chunk=replica_chunk,
+            )
+            e_nb, g_nb = jax.vmap(
+                jax.value_and_grad(lambda p: nonbonded_energy(nb, p))
+            )(Ps)
+            return e_b + e_nb, f_b - g_nb, nd
+
+        def device_fn(state):
+            def body(s, _):
+                return L.langevin_step_batched(
+                    batched_potential, coeffs, masses, s
+                ), None
+
+            return jax.lax.scan(body, state, None, length=steps_per_call)[0]
+
+        if mesh is not None:
+            n_dp = mesh.shape["dp"]
+            if n_replicas % n_dp:
+                raise ValueError(
+                    f"{n_replicas} replicas do not shard over dp={n_dp}"
+                )
+            spec = L.MDState(
+                positions=P("dp", None, None), velocities=P("dp", None, None),
+                forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
+                step=P("dp"), aux=P("dp", None, None, None),
+            )
+            sharded = jax.shard_map(
+                device_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=False,
+            )
+            step_fn = jax.jit(sharded)
+        else:
+            step_fn = jax.jit(device_fn)
+
+        obj = cls(mesh=mesh, n_replicas=n_replicas, step_fn=step_fn,
+                  masses=masses)
+        obj._rt, obj._cfg, obj._params = rt, cfg, params
+        obj._warm_iters = warm_iters
+        return obj
+
+    def initial_state(self, positions: np.ndarray, temp_K: float = 300.0,
+                      seed: int = 0, opt_iters: int = 10):
+        from ai2bmd_tpu.frag.runtime import initial_cap_delta_batched
+
+        n = self.n_replicas
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n)
+        init_keys, run_keys = keys[:n], keys[n:]
+        vel = jax.vmap(
+            lambda k: L.maxwell_boltzmann_velocities(k, self.masses, temp_K)
+        )(init_keys)
+        pos = jnp.broadcast_to(
+            jnp.asarray(positions, jnp.float32), (n,) + positions.shape
+        )
+        deltas = jax.jit(
+            lambda P: initial_cap_delta_batched(self._rt, P, opt_iters)
+        )(pos)
+        state = L.MDState(
+            positions=pos,
+            velocities=vel,
+            forces=jnp.zeros_like(pos),
+            energy=jnp.zeros((n,), jnp.float32),
+            key=run_keys,
+            step=jnp.zeros((n,), jnp.int32),
+            aux=deltas,
+        )
+        if self.mesh is None:
+            return state
+        spec = L.MDState(
+            positions=P("dp", None, None), velocities=P("dp", None, None),
+            forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
+            step=P("dp"), aux=P("dp", None, None, None),
+        )
+        return jax.device_put(
+            state,
+            jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), spec,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+
+    def run(self, state, n_calls: int):
+        for _ in range(n_calls):
+            state = self.step_fn(state)
+        return state
+
+
+@dataclasses.dataclass
 class EnsembleSimulation:
     """n_replicas independent Langevin trajectories of one protein,
     force-evaluated with mp-sharded fragments."""

@@ -91,3 +91,62 @@ def test_padded_rows_do_not_change_physics(chig):
     e8, f8 = jax.jit(lambda P: fragment_energy_forces(params, rt8, P, TINY))(P0)
     np.testing.assert_allclose(float(e1), float(e8), atol=1e-4)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f8), atol=1e-4)
+
+
+def test_replica_batched_potential_matches_single(chig):
+    """The replica-batched fragment evaluation must reproduce the
+    single-replica potential per replica (VERDICT round 1, item 4)."""
+    from ai2bmd_tpu.frag.runtime import (
+        FragmentRuntime,
+        ensemble_fragment_energy_forces_warm,
+        fragment_energy_forces,
+        initial_cap_delta_batched,
+    )
+
+    prot, fi, params = chig
+    rt = FragmentRuntime.build(fi)
+    P0 = jnp.asarray(prot.positions, jnp.float32)
+    # 3 distinct replica geometries
+    key = jax.random.PRNGKey(5)
+    Ps = P0[None] + 0.02 * jax.random.normal(key, (3,) + P0.shape)
+
+    # batched path with zero warm deltas and k iters == cold path with k iters
+    deltas0 = jnp.zeros((3, rt.static.n_rows, rt.static.slots, 3), jnp.float32)
+    e_b, f_b, _ = jax.jit(
+        lambda Ps, d: ensemble_fragment_energy_forces_warm(
+            params, rt, Ps, TINY, d, warm_iters=3, replica_chunk=2
+        )
+    )(Ps, deltas0)
+
+    rt3 = FragmentRuntime.build(fi, opt_iters=3)
+    for r in range(3):
+        e1, f1 = jax.jit(
+            lambda P: fragment_energy_forces(params, rt3, P, TINY)
+        )(Ps[r])
+        np.testing.assert_allclose(float(e_b[r]), float(e1), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(f_b[r]), np.asarray(f1), atol=1e-4
+        )
+
+    # warm-delta init helper shapes
+    d = initial_cap_delta_batched(rt, Ps, n_iter=2)
+    assert d.shape == deltas0.shape
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_replica_ensemble_runs(chig, use_mesh):
+    from ai2bmd_tpu.parallel import ReplicaEnsemble
+
+    prot, fi, params = chig
+    mesh = make_mesh(2, 4) if use_mesh else None
+    ens = ReplicaEnsemble.build(
+        prot, fi, params, TINY, n_replicas=4, mesh=mesh,
+        steps_per_call=2, warm_iters=2, replica_chunk=2,
+    )
+    state = ens.initial_state(prot.positions, seed=0, opt_iters=2)
+    state = ens.run(state, 2)
+    pos = np.asarray(state.positions)
+    assert pos.shape == (4, len(prot), 3)
+    assert np.all(np.isfinite(pos))
+    assert np.all(np.asarray(state.step) == 4)
+    assert not np.allclose(pos[0], pos[1])
