@@ -185,6 +185,111 @@ def convert_reorder_table(reference: str):
     print(f"amber2tinker.npz: {len(out)} residue orderings")
 
 
+
+def convert_amoeba(reference: str):
+    """amoebabio18.prm (AMOEBA-BIO-2018, Tinker format) -> amoeba_params.npz.
+
+    Extracts: atom type table, buffered-14-7 vdW by class (R-min diameter,
+    epsilon kcal/mol, optional hydrogen reduction), permanent multipoles in
+    their local frames (monopole e, dipole e*bohr, quadrupole e*bohr^2 —
+    raw prm units; physics/amoeba.py applies the bohr conversions), Thole
+    polarizabilities + polarization groups, and the biotype table mapping
+    (atom name, residue description) -> atom type.  Reference usage:
+    src/Calculators/tinker_async.py:130 passes this file to Tinker.
+    """
+    import re as _re
+
+    path = os.path.join(reference, "src", "utils", "amoebabio18.prm")
+    lines = open(path).read().splitlines()
+
+    atom_type, atom_class, atom_name, atom_elem, atom_mass = [], [], [], [], []
+    vdw_class, vdw_rmin, vdw_eps, vdw_red = [], [], [], []
+    mp_type, mp_frame, mp_q, mp_dip, mp_quad = [], [], [], [], []
+    pol_type, pol_alpha, pol_thole, pol_group = [], [], [], []
+    bio_name, bio_res, bio_type = [], [], []
+
+    i = 0
+    while i < len(lines):
+        t = lines[i].split()
+        if not t:
+            i += 1
+            continue
+        key = t[0].lower()
+        if key == "atom":
+            # atom  TYPE CLASS NAME "description" Z MASS VALENCE
+            m = _re.match(r'\s*atom\s+(\d+)\s+(\d+)\s+(\S+)\s+"[^"]*"\s+(\d+)\s+([\d.]+)', lines[i])
+            atom_type.append(int(m.group(1)))
+            atom_class.append(int(m.group(2)))
+            atom_name.append(m.group(3))
+            atom_elem.append(int(m.group(4)))
+            atom_mass.append(float(m.group(5)))
+        elif key == "vdw":
+            vdw_class.append(int(t[1]))
+            vdw_rmin.append(float(t[2]))
+            vdw_eps.append(float(t[3]))
+            vdw_red.append(float(t[4]) if len(t) > 4 else 1.0)
+        elif key == "multipole":
+            # header: multipole TYPE [frame 1-3 ints, signed] CHARGE
+            vals = t[1:]
+            frame = [int(v) for v in vals[:-1]]
+            q = float(vals[-1])
+            typ = frame[0]
+            axes = frame[1:] + [0] * (3 - len(frame[1:]))
+            d = [float(v) for v in lines[i + 1].split()]
+            qxx = float(lines[i + 2].split()[0])
+            qxy, qyy = (float(v) for v in lines[i + 3].split())
+            qxz, qyz, qzz = (float(v) for v in lines[i + 4].split())
+            quad = [[qxx, qxy, qxz], [qxy, qyy, qyz], [qxz, qyz, qzz]]
+            mp_type.append(typ)
+            mp_frame.append(axes)
+            mp_q.append(q)
+            mp_dip.append(d)
+            mp_quad.append(quad)
+            i += 4
+        elif key == "polarize":
+            pol_type.append(int(t[1]))
+            pol_alpha.append(float(t[2]))
+            pol_thole.append(float(t[3]))
+            grp = [int(v) for v in t[4:]]
+            pol_group.append(grp + [0] * (8 - len(grp)))
+        elif key == "biotype":
+            m = _re.match(r'\s*biotype\s+\d+\s+(\S+)\s+"([^"]*)"\s+(-?\d+)', lines[i])
+            bio_name.append(m.group(1))
+            bio_res.append(m.group(2))
+            bio_type.append(int(m.group(3)))
+        i += 1
+
+    np.savez_compressed(
+        os.path.join(ASSETS, "amoeba_params.npz"),
+        atom_type=np.array(atom_type, np.int32),
+        atom_class=np.array(atom_class, np.int32),
+        atom_name=np.array(atom_name),
+        atom_elem=np.array(atom_elem, np.int32),
+        atom_mass=np.array(atom_mass),
+        vdw_class=np.array(vdw_class, np.int32),
+        vdw_rmin=np.array(vdw_rmin),
+        vdw_eps=np.array(vdw_eps),
+        vdw_red=np.array(vdw_red),
+        mp_type=np.array(mp_type, np.int32),
+        mp_frame=np.array(mp_frame, np.int32),
+        mp_q=np.array(mp_q),
+        mp_dip=np.array(mp_dip),
+        mp_quad=np.array(mp_quad),
+        pol_type=np.array(pol_type, np.int32),
+        pol_alpha=np.array(pol_alpha),
+        pol_thole=np.array(pol_thole),
+        pol_group=np.array(pol_group, np.int32),
+        bio_name=np.array(bio_name),
+        bio_res=np.array(bio_res),
+        bio_type=np.array(bio_type, np.int32),
+    )
+    print(
+        f"amoeba_params.npz: {len(atom_type)} types, {len(mp_type)} multipole "
+        f"records, {len(pol_type)} polarize, {len(vdw_class)} vdw, "
+        f"{len(bio_type)} biotypes"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -195,6 +300,7 @@ def main():
     convert_prmtops(args.reference)
     build_ff_table(args.reference)
     convert_reorder_table(args.reference)
+    convert_amoeba(args.reference)
 
 
 if __name__ == "__main__":
