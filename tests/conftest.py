@@ -38,6 +38,10 @@ def chig_protein():
     return Protein.from_atoms(atoms)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a shared session RNG makes each test's
+    # data depend on which tests ran before it (order-dependent flakiness
+    # in tolerance-marginal comparisons); this way every test draws the
+    # same stream whether run alone or in the full suite
     return np.random.default_rng(0)
