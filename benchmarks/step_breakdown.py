@@ -48,6 +48,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import _chig_protein
     from ai2bmd_tpu.md import langevin as L
@@ -72,7 +73,7 @@ def main():
 
     # A. full step
     coeffs = L.LangevinCoeffs.build(prot.masses, 1.0, 300.0, 0.001)
-    warm = lambda p, a: pot.stateful_energy_forces(p, a, warm_iters=4)
+    warm = lambda p, a: pot.stateful_energy_forces(p, a, warm_iters=2)
     e0, f0, auxw = jax.jit(warm)(P, aux0)
     st0 = L.MDState(P, L.maxwell_boltzmann_velocities(jax.random.PRNGKey(0), prot.masses, 300.0),
                     f0, e0, jax.random.PRNGKey(0), jnp.asarray(0), aux=auxw)
@@ -97,17 +98,22 @@ def main():
         )
         return jnp.asarray(z), pos.astype(jnp.float32), jnp.asarray(valid)
 
-    zd, posd, vd = mk_batch(rt.row_z, rt.valid)
-    out["rows_shape"] = list(zd.shape)
+    # dipeptide cost = sum over the production size buckets
+    out["rows_shape"] = [
+        [int(idx.shape[0]), int(w)] for w, idx, *_ in rt.dip_buckets
+    ]
+    dip_total = 0.0
+    for w, idx, z_b, valid_b, _dst, _has in rt.dip_buckets:
+        zd, posd, vd = mk_batch(np.asarray(z_b), np.asarray(valid_b))
 
-    def vis_ef(c):
-        p = c
-        e, f = V.energy_and_forces(params, zd, p, vd, rcfg)
-        return p + 0.0 * f
+        def vis_ef(c, zd=zd, vd=vd):
+            e, f = V.energy_and_forces(params, zd, c, vd, rcfg)
+            return c + 0.0 * f
 
-    out["visnet_dipeptide_EF"] = timed(vis_ef, posd, args.iters)
+        dip_total += timed(vis_ef, posd, args.iters)
+    out["visnet_dipeptide_EF"] = dip_total
 
-    za, posa, va_ = mk_batch(rt.ace_z, jnp.broadcast_to(rt.ace_valid[:, None], rt.ace_z.shape))
+    za, posa, va_ = mk_batch(rt.ace_z16, rt.ace_mask16)
     out["ace_shape"] = list(za.shape)
 
     def vis_ace(c):
@@ -116,11 +122,14 @@ def main():
 
     out["visnet_acenme_EF"] = timed(vis_ace, posa, args.iters)
 
+    w0, idx0, z0, valid0, _d0, _h0 = rt.dip_buckets[-1]
+    zd0, posd0, vd0 = mk_batch(np.asarray(z0), np.asarray(valid0))
+
     def vis_fwd(c):
-        e = V.energy(params, zd, c, vd, rcfg)
+        e = V.energy(params, zd0, c, vd0, rcfg)
         return c + 0.0 * e[:, None, None]
 
-    out["visnet_dipeptide_E_only"] = timed(vis_fwd, posd, args.iters)
+    out["visnet_dipeptide_E_only_largest_bucket"] = timed(vis_fwd, posd0, args.iters)
 
     # F. warm cap opt alone
     from ai2bmd_tpu.frag import hydrogen as FH
@@ -131,7 +140,7 @@ def main():
         free = rt.is_cap[..., None]
         pos_geo = build_row_positions(rt, p)
         pos0 = pos_geo + jnp.where(free, delta, 0.0)
-        pos = FH.optimize_caps(rt.ht, pos0, n_iter=4)
+        pos = FH.optimize_caps(rt.ht, pos0, n_iter=2)
         new_delta = jnp.where(free, pos - pos_geo, 0.0)
         return (p + 0.0 * jnp.sum(pos), new_delta)
 
