@@ -435,6 +435,167 @@ class AmoebaWaterSystem:
         return e, -g
 
 
+@dataclasses.dataclass
+class AmoebaWaterBox:
+    # NOT a registered pytree: jit this class's methods via closure capture
+    # (the MultipoleEwaldParams aux carries static grid metadata)
+    """Periodic AMOEBA water: multipole SPME electrostatics + Thole mutual
+    induction + buffered 14-7 vdW under minimum-image PBC.
+
+    This is the solvent model class the reference evaluates through
+    Tinker9 (tinker_async.py:127-145: AMOEBA params, ewald, mutual
+    polarization).  Electrostatics use the validated multipole SPME
+    (physics/amoeba_pme.py: real + mesh reciprocal + self + intramolecular
+    erf adjustment).  Induction is real-space Thole within the cutoff
+    (deliberate v1 deviation: Tinker also meshes the induced-dipole field;
+    the damped dipole field decays as r^-3 and the cutoff error is small
+    next to the polarizable-vs-fixed-charge fidelity step).  Dense [N,N]
+    pair masks — sized for validation boxes and the QM/MM solvent shells,
+    not the full 17.9k-atom production box (neighbor-listed variant:
+    ROADMAP).
+    """
+
+    base: AmoebaWaterSystem       # parameter tables (frames, q/mu/Theta...)
+    cell: Any                     # [3]
+    pme: Any                      # MultipoleEwaldParams (static aux)
+    cutoff: float = 9.0
+    vdw_cutoff: float = 9.0
+
+    @classmethod
+    def build(cls, n_waters: int, cell, cutoff: float = 9.0,
+              vdw_cutoff: float = 9.0, sor_iters: int = 40,
+              grid_spacing: float = 0.8, beta: float = 0.4):
+        from ai2bmd_tpu.physics import amoeba_pme as MP
+
+        base = AmoebaWaterSystem.build(n_waters, sor_iters=sor_iters)
+        pme = MP.MultipoleEwaldParams.build(
+            np.asarray(cell, np.float64), beta=beta, grid_spacing=grid_spacing
+        )
+        return cls(
+            base=base, cell=jnp.asarray(cell, jnp.float64), pme=pme,
+            cutoff=cutoff, vdw_cutoff=vdw_cutoff,
+        )
+
+    def _pairs(self):
+        N = self.base.n_sites
+        ii, jj = np.triu_indices(N, 1)
+        mol = np.repeat(np.arange(N // 3), 3)
+        inter = mol[ii] != mol[jj]
+        return ii, jj, inter
+
+    def permanent_energy(self, P):
+        from ai2bmd_tpu.physics import amoeba_pme as MP
+
+        q, mu, theta = self.base.lab_multipoles(P)
+        ii, jj, inter = self._pairs()
+        e = MP.multipole_ewald_energy(
+            self.pme, P, q, mu, theta,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(inter),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(~inter),
+            self.cutoff,
+        )
+        return units.COULOMB * e
+
+    def _permanent_field(self, P):
+        """Thole-damped min-image field of other molecules' permanent
+        multipoles (real-space within cutoff)."""
+        b = self.base
+        q, mu, theta = b.lab_multipoles(P)
+        diff_mol, _ = b._pair_masks()
+        x = P[:, None, :] - P[None, :, :]
+        x = x - self.cell * jnp.round(x / self.cell)
+        r = jnp.sqrt(jnp.sum(jnp.where(diff_mol[..., None], x, 1.0) ** 2, -1))
+        live = diff_mol & (r < self.cutoff)
+        x = jnp.where(live[..., None], x, jnp.array([10.0, 0.0, 0.0]))
+        r = jnp.where(live, r, 10.0)
+        pd = b.pdamp[:, None] * b.pdamp[None, :]
+        gm = jnp.minimum(b.thole[:, None], b.thole[None, :])
+        l3, l5, l7 = _thole_lambdas(r, pd, gm)
+        N = b.n_sites
+        E = field_from_permanent(
+            x, jnp.broadcast_to(q[None, :], (N, N)),
+            jnp.broadcast_to(mu[None], (N, N, 3)),
+            jnp.broadcast_to(theta[None], (N, N, 3, 3)),
+            l3[..., None], l5[..., None], l7[..., None],
+        )
+        return jnp.sum(jnp.where(live[..., None], E, 0.0), axis=1)
+
+    def induced_dipoles(self, P):
+        b = self.base
+        E0 = self._permanent_field(P)
+        N = b.n_sites
+        not_self = ~jnp.eye(N, dtype=bool)
+        x = P[:, None, :] - P[None, :, :]
+        x = x - self.cell * jnp.round(x / self.cell)
+        r = jnp.sqrt(jnp.sum(jnp.where(not_self[..., None], x, 1.0) ** 2, -1))
+        live = not_self & (r < self.cutoff)
+        x = jnp.where(live[..., None], x, jnp.array([10.0, 0.0, 0.0]))
+        r = jnp.where(live, r, 10.0)
+        pd = b.pdamp[:, None] * b.pdamp[None, :]
+        gm = jnp.minimum(b.thole[:, None], b.thole[None, :])
+        l3, l5, _ = _thole_lambdas(r, pd, gm)
+        alpha = b.alpha[:, None]
+
+        def step(mu_ind, _):
+            Emut = field_from_dipole(
+                x, mu_ind[None, :, :], l3[..., None], l5[..., None]
+            )
+            Emut = jnp.where(live[..., None], Emut, 0.0).sum(axis=1)
+            new = mu_ind + b.sor_omega * (alpha * (E0 + Emut) - mu_ind)
+            return new, None
+
+        mu0 = alpha * E0
+        mu_ind, _ = jax.lax.scan(step, mu0, None, length=b.sor_iters)
+        return mu_ind, E0
+
+    def polarization_energy(self, P):
+        mu_ind, E0 = self.induced_dipoles(P)
+        return -0.5 * units.COULOMB * jnp.sum(mu_ind * E0)
+
+    def vdw_energy(self, P):
+        b = self.base
+        red = b.vdw_red[:, None]
+        sites = P[b.heavy_of] + red * (P - P[b.heavy_of])
+        diff_mol, iu = b._pair_masks()
+        mask = diff_mol & iu
+        d = sites[:, None, :] - sites[None, :, :]
+        d = d - self.cell * jnp.round(d / self.cell)
+        r = jnp.sqrt(jnp.sum(jnp.where(mask[..., None], d, 1.0) ** 2, -1))
+        live = mask & (r < self.vdw_cutoff)
+        r = jnp.where(live, r, self.vdw_cutoff)
+        ri, rj = b.vdw_rmin[:, None], b.vdw_rmin[None, :]
+        r0 = (ri**3 + rj**3) / (ri**2 + rj**2)
+        ei, ej = b.vdw_eps[:, None], b.vdw_eps[None, :]
+        se = jnp.sqrt(ei) + jnp.sqrt(ej)
+        eps = 4.0 * ei * ej / jnp.maximum(se * se, 1e-12)
+        rho = r / r0
+        f1 = (1.07 / (rho + 0.07)) ** 7
+        f2 = 1.12 / (rho**7 + 0.12) - 2.0
+        e_pair = eps * f1 * f2
+        # shift to zero at the cutoff so forces are cutoff-continuous
+        rho_c = self.vdw_cutoff / r0
+        e_cut = eps * (1.07 / (rho_c + 0.07)) ** 7 * (
+            1.12 / (rho_c**7 + 0.12) - 2.0
+        )
+        return jnp.sum(jnp.where(live, e_pair - e_cut, 0.0))
+
+    def energy(self, P, include_bonded: bool = True):
+        e = (
+            self.permanent_energy(P)
+            + self.polarization_energy(P)
+            + self.vdw_energy(P)
+        )
+        if include_bonded:
+            e = e + self.base.bonded_energy(P)
+        return e
+
+    def energy_forces(self, P, include_bonded: bool = True):
+        e, g = jax.value_and_grad(
+            lambda p: self.energy(p, include_bonded)
+        )(P)
+        return e, -g
+
+
 def molecular_dipole_debye(sys: AmoebaWaterSystem, P, mol: int = 0):
     """Total molecular dipole (permanent only) of one water in Debye."""
     q, mu, _ = sys.lab_multipoles(P)

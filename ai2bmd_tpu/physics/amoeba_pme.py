@@ -1,0 +1,391 @@
+"""Multipole Ewald / SPME for periodic AMOEBA electrostatics.
+
+Extends the charge-only SPME (physics/pme.py) to the full point-multipole
+set (monopole + dipole + traceless quadrupole) the AMOEBA force field
+requires under periodic boundary conditions — the electrostatics Tinker9
+evaluates for the reference's solvated systems (reference:
+src/Calculators/tinker_async.py:127-145 sets `ewald` with AMOEBA params).
+
+Design:
+
+  * Every real-space term is generated from ONE scalar kernel by nested
+    autodiff.  A multipole's potential is phi_i = q g - mu.grad g
+    + Theta:grad grad g / 3 and the pair energy applies the conjugate
+    operator of site j to phi_i; with g = 1/r this is the validated
+    vacuum path (physics/amoeba.py), with g = erfc(beta r)/r the Ewald
+    real-space term, and with g = erf(beta r)/r the exclusion adjustment
+    AND the self energy.  The erf kernel is written as an analytic
+    function of r^2 (series near 0), so the self energy is literally the
+    pair energy evaluated at x = 0 — no hand-derived self-term table.
+  * Reciprocal space: order-6 cardinal B-spline SPME.  Each site spreads
+    q M M M + mu-terms with one spline derivative + Theta-terms with two,
+    so the mesh sees the exact multipolar structure factor
+    lambda(m) = q + 2 pi i mu.m - (2 pi)^2 (m.Theta.m)/3.
+  * `ewald_multipole_direct` is an O(N^2 K^3) k-space reference sum used
+    by the tests to pin the mesh implementation (same role as
+    pme.ewald_direct_sum).
+
+Units: e, Angstrom; energies returned in e^2/A (multiply by
+units.COULOMB for eV) to mirror physics/pme.py's internal convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPLINE_ORDER = 6
+
+
+# ---------------------------------------------------------------------------
+# scalar kernels (smooth in r^2 where required)
+# ---------------------------------------------------------------------------
+
+
+def _erf_over_r_scaled(u):
+    """f(u) = sqrt(pi)/2 * erf(sqrt(u))/sqrt(u), analytic in u with
+    f(0) = 1.  Series for small u keeps autodiff exact at u = 0 (the
+    self-energy evaluation point); |error| < 1e-13 at the switch."""
+    small = u < 0.04
+    us = jnp.where(small, u, 0.0)
+    series = (
+        1.0 - us / 3.0 + us**2 / 10.0 - us**3 / 42.0 + us**4 / 216.0
+        - us**5 / 1320.0
+    )
+    ub = jnp.where(small, 1.0, u)
+    exact = jnp.sqrt(jnp.pi) / 2.0 * jax.lax.erf(jnp.sqrt(ub)) / jnp.sqrt(ub)
+    return jnp.where(small, series, exact)
+
+
+def kernel_coulomb(y):
+    return 1.0 / jnp.sqrt(jnp.sum(y * y))
+
+
+def make_kernel_erf(beta):
+    """g(y) = erf(beta r)/r, smooth at r = 0 (value 2 beta/sqrt(pi))."""
+
+    def g(y):
+        u = beta * beta * jnp.sum(y * y)
+        return 2.0 * beta / jnp.sqrt(jnp.pi) * _erf_over_r_scaled(u)
+
+    return g
+
+
+def make_kernel_erfc(beta):
+    def g(y):
+        r = jnp.sqrt(jnp.sum(y * y))
+        return jax.lax.erfc(beta * r) / r
+
+    return g
+
+
+# ---------------------------------------------------------------------------
+# kernel-generic multipole pair energy
+# ---------------------------------------------------------------------------
+
+
+def pair_energy_kernel(x, qi, mui, ti, qj, muj, tj, kernel):
+    """Interaction energy of two point multipoles separated by x = r_j - r_i
+    for an arbitrary radial kernel g (the r->0-smooth erf kernel makes this
+    valid at x = 0, which IS the Ewald self energy up to a factor -1/2).
+
+    Convention matches physics/amoeba.py (validated against a charge-cloud
+    oracle there): phi_i = q g - mu.grad g + Theta : grad grad g / 3;
+    E = qj phi + muj.grad phi + Thetaj : grad grad phi / 3.
+    """
+
+    def phi(y):
+        g = kernel(y)
+        dg = jax.grad(kernel)(y)
+        d2g = jax.hessian(kernel)(y)
+        return qi * g - mui @ dg + jnp.sum(ti * d2g) / 3.0
+
+    e0 = qj * phi(x)
+    e1 = muj @ jax.grad(phi)(x)
+    e2 = jnp.sum(tj * jax.hessian(phi)(x)) / 3.0
+    return e0 + e1 + e2
+
+
+def self_energy(q, mu, theta, beta):
+    """Ewald self term = -1/2 sum_i E_ii with the erf kernel at x = 0."""
+    g = make_kernel_erf(beta)
+    e_ii = jax.vmap(
+        lambda qq, m, t: pair_energy_kernel(jnp.zeros(3), qq, m, t, qq, m, t, g)
+    )(q, mu, theta)
+    return -0.5 * jnp.sum(e_ii)
+
+
+# ---------------------------------------------------------------------------
+# order-6 B-splines and derivatives
+# ---------------------------------------------------------------------------
+
+
+def _bspline(n, x):
+    """Cardinal B-spline M_n on [0, n) by the Cox-de Boor recursion
+    (unrolled in Python; n is static and small)."""
+    if n == 1:
+        return jnp.where((x >= 0.0) & (x < 1.0), 1.0, 0.0)
+    mm = _bspline(n - 1, x)
+    mm1 = _bspline(n - 1, x - 1.0)
+    return (x * mm + (n - x) * mm1) / (n - 1.0)
+
+
+def _bspline_d1(n, x):
+    return _bspline(n - 1, x) - _bspline(n - 1, x - 1.0)
+
+
+def _bspline_d2(n, x):
+    return (
+        _bspline(n - 2, x)
+        - 2.0 * _bspline(n - 2, x - 1.0)
+        + _bspline(n - 2, x - 2.0)
+    )
+
+
+def _euler_spline_mod2(K: int, order: int = SPLINE_ORDER) -> np.ndarray:
+    """|b(m)|^-2... returns 1/|sum_k M_n(k+1) e^{2 pi i m k / K}|^2."""
+    m = np.arange(K)
+    k = np.arange(order - 1)
+    nodes = np.array(
+        [float(_bspline(order, jnp.asarray(float(v + 1)))) for v in k]
+    )
+    denom = (nodes[None, :] * np.exp(2j * np.pi * m[:, None] * k[None, :] / K)).sum(1)
+    return 1.0 / np.maximum(np.abs(denom) ** 2, 1e-14)
+
+
+# ---------------------------------------------------------------------------
+# multipole SPME
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MultipoleEwaldParams:
+    beta: float
+    cell: Any            # [3]
+    grid: tuple
+    influence: Any       # [Kx,Ky,Kz]
+
+    @classmethod
+    def build(cls, cell, beta: float = 0.4, grid_spacing: float = 0.8):
+        cell = np.asarray(cell, np.float64)
+        grid = tuple(
+            max(int(np.ceil(c / grid_spacing)), 2 * SPLINE_ORDER) for c in cell
+        )
+        volume = float(np.prod(cell))
+        ms = [np.fft.fftfreq(K) * K / L for K, L in zip(grid, cell)]
+        MX, MY, MZ = np.meshgrid(*ms, indexing="ij")
+        m2 = MX**2 + MY**2 + MZ**2
+        b2 = (
+            _euler_spline_mod2(grid[0])[:, None, None]
+            * _euler_spline_mod2(grid[1])[None, :, None]
+            * _euler_spline_mod2(grid[2])[None, None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            infl = np.exp(-np.pi**2 * m2 / beta**2) / m2 * b2
+        infl.flat[0] = 0.0
+        infl = infl / (2.0 * np.pi * volume)
+        return cls(
+            beta=beta,
+            cell=jnp.asarray(cell, jnp.float64),
+            grid=grid,
+            influence=jnp.asarray(infl),
+        )
+
+
+def _spread_multipoles(pme: MultipoleEwaldParams, P, q, mu, theta):
+    """Spread q, mu, Theta to the mesh with spline derivative stencils.
+
+    The equivalent point density of our multipole convention is
+    rho_i(r) = q d(r-ri) + mu.grad_r d(r-ri) + Theta : grad grad d / 3
+    (signs fixed by matching `ewald_multipole_direct` component-by-
+    component AND in cross terms; validated by test).
+    Spreading convolves that density with the spline window, so mu picks
+    up one spline derivative (+ sign: d/du M(u - s) wrt source position s
+    flips sign twice) and Theta two.
+    """
+    Kx, Ky, Kz = pme.grid
+    K = jnp.asarray(pme.grid)
+    h = pme.cell / K                     # grid spacing per axis
+    n = SPLINE_ORDER
+    u = P / pme.cell * K
+    i0 = jnp.floor(u).astype(jnp.int32)
+    t = u - i0
+    offs = jnp.arange(n)
+    # value/1st/2nd derivative of the window along each axis [N, n, 3]
+    arg = t[:, None, :] + (n - 1.0) - offs[None, :, None]
+    W0 = _bspline(n, arg)
+    W1 = _bspline_d1(n, arg) / h          # d/dx (chain rule to grid coords)
+    W2 = _bspline_d2(n, arg) / (h * h)
+    idx = (i0[:, None, :] - (n - 1) + offs[None, :, None]) % K
+
+    def outer(a, b, c):
+        return (
+            a[:, :, None, None] * b[:, None, :, None] * c[:, None, None, :]
+        )
+
+    x0, y0, z0 = W0[..., 0], W0[..., 1], W0[..., 2]
+    x1, y1, z1 = W1[..., 0], W1[..., 1], W1[..., 2]
+    x2, y2, z2 = W2[..., 0], W2[..., 1], W2[..., 2]
+
+    contrib = q[:, None, None, None] * outer(x0, y0, z0)
+    # dipole: mu . grad of the window
+    contrib += mu[:, 0, None, None, None] * outer(x1, y0, z0)
+    contrib += mu[:, 1, None, None, None] * outer(x0, y1, z0)
+    contrib += mu[:, 2, None, None, None] * outer(x0, y0, z1)
+    # quadrupole: +(1/3) Theta : grad grad (FT of grad grad is -k k, so the
+    # + sign here produces the -(2 pi)^2 (m.Theta.m)/3 structure factor)
+    th = theta
+    contrib += (1.0 / 3.0) * (
+        th[:, 0, 0, None, None, None] * outer(x2, y0, z0)
+        + th[:, 1, 1, None, None, None] * outer(x0, y2, z0)
+        + th[:, 2, 2, None, None, None] * outer(x0, y0, z2)
+        + 2.0 * th[:, 0, 1, None, None, None] * outer(x1, y1, z0)
+        + 2.0 * th[:, 0, 2, None, None, None] * outer(x1, y0, z1)
+        + 2.0 * th[:, 1, 2, None, None, None] * outer(x0, y1, z1)
+    )
+
+    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    lin = (
+        ix[:, :, None, None] * (Ky * Kz)
+        + iy[:, None, :, None] * Kz
+        + iz[:, None, None, :]
+    )
+    rho = jax.ops.segment_sum(
+        contrib.reshape(-1), lin.reshape(-1), num_segments=Kx * Ky * Kz
+    )
+    return rho.reshape(Kx, Ky, Kz)
+
+
+def reciprocal_energy(pme: MultipoleEwaldParams, P, q, mu, theta):
+    rho = _spread_multipoles(pme, P, q, mu, theta)
+    rho_k = jnp.fft.fftn(rho)
+    return jnp.sum(pme.influence * jnp.abs(rho_k) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# direct k-space reference (tests)
+# ---------------------------------------------------------------------------
+
+
+def ewald_multipole_direct(P, q, mu, theta, cell, beta, kmax=8):
+    """O(N^2 K^3) multipole Ewald reference (numpy, float64).
+
+    Structure factor per site: lambda(m) = q + 2 pi i mu.m
+    - (2 pi)^2 (m.Theta.m)/3 with m in reciprocal (1/A) coordinates —
+    the exact Fourier transform of our real-space multipole convention.
+    Returns (e_real, e_rec, e_self) in e^2/A.
+    """
+    from math import erfc as _erfc
+
+    P = np.asarray(P, np.float64)
+    q = np.asarray(q, np.float64)
+    mu = np.asarray(mu, np.float64)
+    theta = np.asarray(theta, np.float64)
+    cell = np.asarray(cell, np.float64)
+    n = len(q)
+    V = float(np.prod(cell))
+
+    # real space over minimum images (assumes cutoff < box/2 regime)
+    g = make_kernel_erfc(beta)
+    e_real = 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = P[j] - P[i]
+            d = d - cell * np.round(d / cell)
+            e_real += float(
+                pair_energy_kernel(
+                    jnp.asarray(d), q[i], jnp.asarray(mu[i]),
+                    jnp.asarray(theta[i]), q[j], jnp.asarray(mu[j]),
+                    jnp.asarray(theta[j]), g,
+                )
+            )
+
+    e_rec = 0.0
+    for mx in range(-kmax, kmax + 1):
+        for my in range(-kmax, kmax + 1):
+            for mz in range(-kmax, kmax + 1):
+                if mx == my == mz == 0:
+                    continue
+                mvec = np.array([mx, my, mz]) / cell
+                m2 = float(mvec @ mvec)
+                lam = (
+                    q
+                    + 2j * np.pi * (mu @ mvec)
+                    - (2 * np.pi) ** 2 / 3.0
+                    * np.einsum("i,nij,j->n", mvec, theta, mvec)
+                )
+                s = np.sum(lam * np.exp(2j * np.pi * (P @ mvec)))
+                e_rec += np.exp(-np.pi**2 * m2 / beta**2) / m2 * abs(s) ** 2
+    e_rec /= 2.0 * np.pi * V
+
+    e_self = float(self_energy(
+        jnp.asarray(q), jnp.asarray(mu), jnp.asarray(theta), beta
+    ))
+    return e_real, e_rec, e_self
+
+
+# ---------------------------------------------------------------------------
+# batched real-space term over a masked pair set
+# ---------------------------------------------------------------------------
+
+
+def real_space_energy(P, q, mu, theta, pair_i, pair_j, mask, cell, beta,
+                      cutoff):
+    """Screened multipole sum over an explicit pair list (minimum image).
+
+    pair_i/pair_j [Np] index arrays, mask [Np] bool; pairs beyond the
+    cutoff contribute 0.
+    """
+    g = make_kernel_erfc(beta)
+    x = P[pair_j] - P[pair_i]
+    x = x - cell * jnp.round(x / cell)
+    r2 = jnp.sum(x * x, axis=-1)
+    live = mask & (r2 < cutoff * cutoff)
+    x = jnp.where(live[:, None], x, jnp.array([cutoff + 1.0, 0.0, 0.0]))
+    e = jax.vmap(
+        lambda xx, i, j: pair_energy_kernel(
+            xx, q[i], mu[i], theta[i], q[j], mu[j], theta[j], g
+        )
+    )(x, pair_i, pair_j)
+    return jnp.sum(jnp.where(live, e, 0.0))
+
+
+def excluded_adjustment(P, q, mu, theta, pair_i, pair_j, mask, cell, beta):
+    """-sum over EXCLUDED pairs of the erf-screened interaction (the mesh
+    includes every pair; excluded ones must see only the real-space
+    remainder, i.e. none, so the erf part is subtracted exactly)."""
+    g = make_kernel_erf(beta)
+    x = P[pair_j] - P[pair_i]
+    x = x - cell * jnp.round(x / cell)
+    x = jnp.where(mask[:, None], x, jnp.array([10.0, 0.0, 0.0]))
+    e = jax.vmap(
+        lambda xx, i, j: pair_energy_kernel(
+            xx, q[i], mu[i], theta[i], q[j], mu[j], theta[j], g
+        )
+    )(x, pair_i, pair_j)
+    return -jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def multipole_ewald_energy(
+    pme: MultipoleEwaldParams, P, q, mu, theta,
+    pair_i, pair_j, pair_mask,
+    excl_i, excl_j, excl_mask,
+    cutoff: float,
+):
+    """Total periodic multipole electrostatics in e^2/A:
+    real (pair list) + reciprocal (mesh) + self + exclusion adjustment."""
+    e_real = real_space_energy(
+        P, q, mu, theta, pair_i, pair_j, pair_mask, pme.cell, pme.beta, cutoff
+    )
+    e_rec = reciprocal_energy(pme, P, q, mu, theta)
+    e_self = self_energy(q, mu, theta, pme.beta)
+    e_adj = excluded_adjustment(
+        P, q, mu, theta, excl_i, excl_j, excl_mask, pme.cell, pme.beta
+    )
+    return e_real + e_rec + e_self + e_adj
