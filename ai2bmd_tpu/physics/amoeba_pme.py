@@ -372,6 +372,134 @@ def excluded_adjustment(P, q, mu, theta, pair_i, pair_j, mask, cell, beta):
     return -jnp.sum(jnp.where(mask, e, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# structure-of-arrays fast path (production scale)
+#
+# On TPU, [M,3] / [M,3,3] per-pair tensors tile to T(4,128) with up to 57x
+# padding (observed: a 17.9k-atom box needed 62 GB HBM through the autodiff
+# kernel).  The SoA path carries every quantity as flat [M] lane-friendly
+# arrays and evaluates the EXACT closed form of the pair energy, derived
+# symbolically from the autodiff kernel (traceless quadrupoles):
+#
+#   E = B0 (qi qj)
+#     + B1 (qj mir - qi mjr + mimj)
+#     + B2 (-mir mjr + qi Qrj/3 + qj Qri/3 - 2 miTjr/3 + 2 mjTir/3 + 2 TiTj/9)
+#     + B3 (mir Qrj/3 - mjr Qri/3 - 4 TirTjr/9)
+#     + B4 (Qri Qrj / 9)
+#
+# with R = r_j - r_i, mir = mu_i.R, Qri = R.Theta_i.R, TiTj = Theta:Theta,
+# TirTjr = (Theta_i R).(Theta_j R), and radial functions defined by
+# B0 = g(r), B_{n+1} = -(1/r) dB_n/dr — the erfc/coulomb chains below.
+# Parity with the autodiff kernel is asserted in tests/test_amoeba_pme.py.
+# ---------------------------------------------------------------------------
+
+
+def bn_chain_erfc(r2, beta, n=5):
+    """B_0..B_{n-1} for g = erfc(beta r)/r."""
+    r = jnp.sqrt(r2)
+    bs = [jax.lax.erfc(beta * r) / r]
+    expt = jnp.exp(-beta * beta * r2) / (beta * jnp.sqrt(jnp.pi))
+    pw = 2.0 * beta * beta
+    for k in range(n - 1):
+        bs.append(((2 * k + 1) * bs[-1] + pw * expt) / r2)
+        pw = pw * 2.0 * beta * beta
+    return bs
+
+
+def bn_chain_coulomb(r2, n=5):
+    bs = [1.0 / jnp.sqrt(r2)]
+    for k in range(n - 1):
+        bs.append((2 * k + 1) * bs[-1] / r2)
+    return bs
+
+
+def _mp_contractions(x, y, z, qi, qj, mi, mj, ti, tj):
+    """Scalar contractions; mi/mj = (x,y,z) component arrays, ti/tj =
+    (xx,xy,xz,yy,yz,zz) component arrays (traceless)."""
+    mix, miy, miz = mi
+    mjx, mjy, mjz = mj
+    tixx, tixy, tixz, tiyy, tiyz, tizz = ti
+    tjxx, tjxy, tjxz, tjyy, tjyz, tjzz = tj
+    mir = mix * x + miy * y + miz * z
+    mjr = mjx * x + mjy * y + mjz * z
+    mimj = mix * mjx + miy * mjy + miz * mjz
+    tirx = tixx * x + tixy * y + tixz * z
+    tiry = tixy * x + tiyy * y + tiyz * z
+    tirz = tixz * x + tiyz * y + tizz * z
+    tjrx = tjxx * x + tjxy * y + tjxz * z
+    tjry = tjxy * x + tjyy * y + tjyz * z
+    tjrz = tjxz * x + tjyz * y + tjzz * z
+    qri = x * tirx + y * tiry + z * tirz
+    qrj = x * tjrx + y * tjry + z * tjrz
+    titj = (
+        tixx * tjxx + tiyy * tjyy + tizz * tjzz
+        + 2.0 * (tixy * tjxy + tixz * tjxz + tiyz * tjyz)
+    )
+    tirtjr = tirx * tjrx + tiry * tjry + tirz * tjrz
+    mitjr = mix * tjrx + miy * tjry + miz * tjrz
+    mjtir = mjx * tirx + mjy * tiry + mjz * tirz
+    return mir, mjr, mimj, qri, qrj, titj, tirtjr, mitjr, mjtir
+
+
+def multipole_pair_energy_soa(x, y, z, qi, qj, mi, mj, ti, tj, bns):
+    """Pair energies [M] from component arrays and a Bn chain (len >= 5).
+    Displacement convention: (x,y,z) = r_j - r_i (as pair_energy_kernel)."""
+    mir, mjr, mimj, qri, qrj, titj, tirtjr, mitjr, mjtir = _mp_contractions(
+        x, y, z, qi, qj, mi, mj, ti, tj
+    )
+    b0, b1, b2, b3, b4 = bns[:5]
+    g0 = qi * qj
+    g1 = qj * mir - qi * mjr + mimj
+    g2 = (
+        -mir * mjr + (qi * qrj + qj * qri) / 3.0
+        - 2.0 / 3.0 * mitjr + 2.0 / 3.0 * mjtir + 2.0 / 9.0 * titj
+    )
+    g3 = (mir * qrj - mjr * qri) / 3.0 - 4.0 / 9.0 * tirtjr
+    g4 = qri * qrj / 9.0
+    return b0 * g0 + b1 * g1 + b2 * g2 + b3 * g3 + b4 * g4
+
+
+def field_soa(x, y, z, q, mu, theta, l3, l5, l7):
+    """Damped field components at the field point; (x,y,z) = r_point -
+    r_source (matches field_from_permanent's convention).  All inputs are
+    broadcastable component arrays; returns (Ex, Ey, Ez)."""
+    mx, my, mz = mu
+    txx, txy, txz, tyy, tyz, tzz = theta
+    r2 = x * x + y * y + z * z
+    r = jnp.sqrt(r2)
+    r3 = r2 * r
+    r5 = r2 * r3
+    r7 = r2 * r5
+    trx = txx * x + txy * y + txz * z
+    try_ = txy * x + tyy * y + tyz * z
+    trz = txz * x + tyz * y + tzz * z
+    xtx = x * trx + y * try_ + z * trz
+    mux = mx * x + my * y + mz * z
+    ex = l3 * (q * x - mx) / jnp.where(r3 == 0, 1.0, r3)
+    ey = l3 * (q * y - my) / jnp.where(r3 == 0, 1.0, r3)
+    ez = l3 * (q * z - mz) / jnp.where(r3 == 0, 1.0, r3)
+    # careful: q*x/r3 - mu/r3 are separate terms in field_from_permanent;
+    # combined here since both carry l3/r3
+    ex = ex + l5 * (3.0 * mux * x - 2.0 * trx) / r5 + l7 * 5.0 * xtx * x / r7
+    ey = ey + l5 * (3.0 * mux * y - 2.0 * try_) / r5 + l7 * 5.0 * xtx * y / r7
+    ez = ez + l5 * (3.0 * mux * z - 2.0 * trz) / r5 + l7 * 5.0 * xtx * z / r7
+    return ex, ey, ez
+
+
+def dipole_field_soa(x, y, z, p, l3, l5):
+    """Damped field of point dipoles p = (px,py,pz) component arrays."""
+    px, py, pz = p
+    r2 = x * x + y * y + z * z
+    r = jnp.sqrt(r2)
+    r3 = r2 * r
+    r5 = r2 * r3
+    pr = px * x + py * y + pz * z
+    ex = l5 * 3.0 * pr * x / r5 - l3 * px / r3
+    ey = l5 * 3.0 * pr * y / r5 - l3 * py / r3
+    ez = l5 * 3.0 * pr * z / r5 - l3 * pz / r3
+    return ex, ey, ez
+
+
 def multipole_ewald_energy(
     pme: MultipoleEwaldParams, P, q, mu, theta,
     pair_i, pair_j, pair_mask,

@@ -68,7 +68,7 @@ RESIDUE_DESC = {
 
 
 def _biotype(par: AmoebaParams, res: str, name: str) -> int:
-    desc = RESIDUE_DESC.get(res)
+    desc = RESIDUE_DESC.get(res.upper())
     if desc is None:
         raise KeyError(f"no AMOEBA biotype mapping for residue {res!r}")
     # Resolution order: (1) PDB amide 'H' -> prm 'HN' (before the exact
@@ -81,6 +81,8 @@ def _biotype(par: AmoebaParams, res: str, name: str) -> int:
     if name == "H":
         cands.append("HN")
     cands.append(name)
+    # ion atom names: 'Na+' -> prm 'NA', 'Cl-' -> 'CL'
+    cands.append(name.upper().rstrip("+-"))
     stripped = name
     while stripped and stripped[-1].isdigit():
         stripped = stripped[:-1]
@@ -93,9 +95,21 @@ def _biotype(par: AmoebaParams, res: str, name: str) -> int:
     raise KeyError(f"no biotype for atom {name!r} in {desc!r}")
 
 
+# scale factors by bonded-path order (amoebabio18.prm header keywords)
+MPOLE_SCALES = {1: 0.0, 2: 0.0, 3: 0.4, 4: 0.8}
+POLAR_SCALES = {1: 0.0, 2: 0.0, 3: 1.0, 4: 1.0}
+VDW_SCALES = {1: 0.0, 2: 0.0, 3: 1.0, 4: 1.0}
+
+
 @dataclasses.dataclass
 class AmoebaAssignment:
-    """Host-side per-atom AMOEBA nonbonded parameterization."""
+    """Host-side per-atom AMOEBA nonbonded parameterization.
+
+    Scale information is stored SPARSELY (unique i<j pairs within 4 bonds
+    + intra-polarization-group pairs) so solvated-box systems don't need
+    [N,N] matrices; the dense matrices used by the small-system vacuum
+    evaluator are built on demand via `mscale`/`pscale`/`dmask`/`vscale`.
+    """
 
     n_atoms: int
     atype: np.ndarray        # [N] prm atom type
@@ -112,32 +126,65 @@ class AmoebaAssignment:
     vdw_eps: np.ndarray      # [N] eV
     vdw_red: np.ndarray      # [N]
     heavy_of: np.ndarray     # [N]
-    mscale: np.ndarray       # [N,N] permanent-permanent scale
-    pscale: np.ndarray       # [N,N] permanent->induced energy scale
-    dmask: np.ndarray        # [N,N] permanent-field mask for the SCF
-    vscale: np.ndarray       # [N,N] vdW scale
+    scale_pairs: np.ndarray  # [M,2] i<j pairs within 4 bonds
+    scale_order: np.ndarray  # [M] bonded-path order 1..4
+    group_pairs: np.ndarray  # [G,2] i<j pairs in the same polarization group
     bonds: np.ndarray        # [B,2]
 
+    def _dense(self, table, default=1.0):
+        n = self.n_atoms
+        m = np.full((n, n), default)
+        i, j = self.scale_pairs.T if len(self.scale_pairs) else ([], [])
+        s = np.array([table[int(o)] for o in self.scale_order])
+        if len(self.scale_pairs):
+            m[i, j] = s
+            m[j, i] = s
+        m[np.eye(n, dtype=bool)] = 0.0
+        return m
 
-def _bond_path_orders(n, bonds, max_order=4):
-    """order[i,j] = bonded-path distance (1..max_order, 0=self, 99=far)."""
+    @property
+    def mscale(self):
+        return self._dense(MPOLE_SCALES)
+
+    @property
+    def pscale(self):
+        return self._dense(POLAR_SCALES)
+
+    @property
+    def vscale(self):
+        return self._dense(VDW_SCALES)
+
+    @property
+    def dmask(self):
+        return (self.group_id[:, None] != self.group_id[None, :]).astype(
+            np.float64
+        )
+
+
+def _bond_path_pairs(n, bonds, max_order=4):
+    """Sparse bonded-path orders: (pairs [M,2] i<j, order [M]) plus the
+    adjacency list.  O(N * local-neighborhood), no [N,N] allocation."""
     adj = [[] for _ in range(n)]
     for i, j in bonds:
         adj[int(i)].append(int(j))
         adj[int(j)].append(int(i))
-    order = np.full((n, n), 99, np.int8)
+    pairs, orders = [], []
     for s in range(n):
-        order[s, s] = 0
+        dist = {s: 0}
         frontier = [s]
         for depth in range(1, max_order + 1):
             nxt = []
             for u in frontier:
                 for v in adj[u]:
-                    if order[s, v] > depth:
-                        order[s, v] = depth
+                    if v not in dist:
+                        dist[v] = depth
                         nxt.append(v)
+                        if v > s:
+                            pairs.append((s, v))
+                            orders.append(depth)
             frontier = nxt
-    return order, adj
+    pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
+    return pairs, np.asarray(orders, np.int8), adj
 
 
 def assign_amoeba(atom_names, residue_names, positions, bonds) -> AmoebaAssignment:
@@ -148,7 +195,7 @@ def assign_amoeba(atom_names, residue_names, positions, bonds) -> AmoebaAssignme
     par = AmoebaParams.load()
     n = len(atom_names)
     P = np.asarray(positions, np.float64)
-    order, adj = _bond_path_orders(n, bonds)
+    scale_pairs, scale_order, adj = _bond_path_pairs(n, bonds)
 
     atype = np.array(
         [_biotype(par, str(r), str(a)) for a, r in zip(atom_names, residue_names)],
@@ -275,28 +322,28 @@ def assign_amoeba(atom_names, residue_names, positions, bonds) -> AmoebaAssignme
             vdw_red[i] = red
             heavy[i] = adj[i][0]
 
-    # scale matrices from bond-path order / groups
-    mscale = np.ones((n, n))
-    for o, s in ((1, 0.0), (2, 0.0), (3, 0.4), (4, 0.8)):
-        mscale[order == o] = s
-    mscale[np.eye(n, dtype=bool)] = 0.0
-    pscale = np.ones((n, n))
-    for o, s in ((1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0)):
-        pscale[order == o] = s
-    pscale[np.eye(n, dtype=bool)] = 0.0
-    vscale = np.ones((n, n))
-    for o, s in ((1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0)):
-        vscale[order == o] = s
-    vscale[np.eye(n, dtype=bool)] = 0.0
-    dmask = (group_id[:, None] != group_id[None, :]).astype(np.float64)
+    # intra-polarization-group pairs (groups are small connected sets)
+    import collections
+
+    members = collections.defaultdict(list)
+    for i in range(n):
+        members[int(group_id[i])].append(i)
+    group_pairs = [
+        (a, b)
+        for mem in members.values()
+        for ai, a in enumerate(mem)
+        for b in mem[ai + 1:]
+    ]
+    group_pairs = np.asarray(group_pairs, np.int32).reshape(-1, 2)
 
     return AmoebaAssignment(
         n_atoms=n, atype=atype, q=q, dip_loc=dip, quad_loc=quad,
         frame_z=fz.astype(np.int32), frame_x=fx.astype(np.int32),
         frame_kind=kind, alpha=alpha, thole=thole, group_id=group_id,
         vdw_rmin=vdw_rmin, vdw_eps=vdw_eps, vdw_red=vdw_red,
-        heavy_of=heavy.astype(np.int32), mscale=mscale, pscale=pscale,
-        dmask=dmask, vscale=vscale,
+        heavy_of=heavy.astype(np.int32),
+        scale_pairs=scale_pairs, scale_order=scale_order,
+        group_pairs=group_pairs,
         bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
     )
 

@@ -1,0 +1,397 @@
+"""Neighbor-listed periodic AMOEBA nonbonded engine (production scale).
+
+Evaluates the full AMOEBA nonbonded energy of an arbitrary assigned system
+(protein + water, physics/amoeba_protein.assign_amoeba) under PBC with
+static-shape [N, K] Verlet lists (ops/neighbors.py) — the in-framework
+replacement for the solvated-system evaluations the reference ships to
+Tinker9 every step (src/Calculators/tinker_async.py:155-181).
+
+TPU layout rules learned the hard way (17.9k-atom chignolin box):
+
+  * [M,3]/[M,3,3] per-pair tensors tile to T(4,128) with up to 57x
+    padding — the array-of-structures autodiff formulation needed 62 GB
+    HBM.  All pair math here is flat [N,K] scalars (lane dim = K).
+  * per-pair cost is dominated by the NUMBER of gathers, not FLOPs
+    (~25-50 ms per 6.3M-row gather on v5e): every per-atom quantity is
+    packed into ONE [N,C] matrix and each pair set does a single row
+    gather, then slices columns.  This took the real-space multipole sum
+    from 1.27 s (one gather per component) to 30 ms — bitwise identical.
+
+The multipole interactions use the closed-form Bn-scalar decomposition
+(physics/amoeba_pme.py SoA section), exact for traceless quadrupoles.
+
+Term structure:
+
+  permanent  real-space erfc multipole pairs over the neighbor list
+             (each unordered pair once), order-6 SPME reciprocal, self
+             term, plus per-pair corrections (s-1) * full-kernel for the
+             1-2/1-3/1-4/1-5 mpole-scaled pairs — with Ewald, a pair
+             scaled by s needs total s*full, and real+mesh already give
+             full, so the correction is exact and needs no erf pass
+  induction  Thole-damped permanent fields over the neighbor list,
+             corrected by subtracting intra-group pair fields
+             (direct-11-scale 0) for the SCF field and (1-p)-weighted
+             pair fields for the energy field; mutual SOR over the list
+             (u-scales are all 1).  Real-space only — deliberate v1
+             deviation from Tinker's PME-meshed induction field
+  vdW        buffered 14-7 over the list with cutoff shift + scaled-pair
+             corrections
+
+Units: positions A, energy eV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai2bmd_tpu import units
+from ai2bmd_tpu.ops.neighbors import NeighborList, build_neighbor_list
+from ai2bmd_tpu.physics import amoeba_pme as MP
+from ai2bmd_tpu.physics.amoeba import _thole_lambdas, rotate_multipoles
+from ai2bmd_tpu.physics.amoeba_protein import (
+    MPOLE_SCALES,
+    POLAR_SCALES,
+    VDW_SCALES,
+    AmoebaAssignment,
+)
+
+_T6 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+# packed per-atom matrix columns: q, mu(3), theta6(6), pdamp, thole, pos(3)
+_Q, _MU, _T, _PD, _TH, _POS = 0, 1, 4, 10, 11, 12
+_C = 15
+
+
+def _minimum_image(d, L):
+    return d - L * jnp.floor(d / L + 0.5)
+
+
+@dataclasses.dataclass
+class AmoebaPeriodicSystem:
+    """Device-side arrays for the nonbonded AMOEBA energy of one system."""
+
+    n_atoms: int
+    cell: Any
+    pme: Any                  # MultipoleEwaldParams
+    cutoff: float
+    sor_iters: int
+    sor_omega: float
+    # per-atom parameters (jnp)
+    q: Any
+    dip_loc: Any
+    quad_loc: Any
+    frame_z: Any
+    frame_x: Any
+    frame_kind: Any
+    alpha: Any
+    pdamp: Any
+    thole: Any
+    vdw_rmin: Any
+    vdw_eps: Any
+    vdw_red: Any
+    heavy_of: Any
+    # exception pair lists (flat, i<j)
+    mx_pairs: Any             # [Mm,2] pairs with mscale != 1
+    mx_scale: Any             # [Mm]
+    vx_pairs: Any             # [Mv,2] pairs with vscale != 1
+    vx_scale: Any             # [Mv]
+    px_pairs: Any             # [Mp,2] pairs with pscale != 1
+    px_scale: Any             # [Mp]
+    grp_pairs: Any            # [Gp,2] intra-polarization-group pairs
+
+    @classmethod
+    def build(
+        cls,
+        asg: AmoebaAssignment,
+        cell,
+        cutoff: float = 9.0,
+        beta: float = 0.4,
+        grid_spacing: float = 0.8,
+        sor_iters: int = 30,
+        sor_omega: float = 0.7,
+        dtype=jnp.float32,
+    ) -> "AmoebaPeriodicSystem":
+        pme = MP.MultipoleEwaldParams.build(
+            np.asarray(cell, np.float64), beta=beta, grid_spacing=grid_spacing
+        )
+
+        def exceptions(table):
+            s = np.array([table[int(o)] for o in asg.scale_order])
+            sel = s != 1.0
+            return (
+                jnp.asarray(asg.scale_pairs[sel]),
+                jnp.asarray(s[sel], dtype),
+            )
+
+        mx_p, mx_s = exceptions(MPOLE_SCALES)
+        vx_p, vx_s = exceptions(VDW_SCALES)
+        px_p, px_s = exceptions(POLAR_SCALES)
+        jf = lambda a: jnp.asarray(a, dtype)
+        return cls(
+            n_atoms=asg.n_atoms,
+            cell=jf(np.asarray(cell)), pme=pme, cutoff=cutoff,
+            sor_iters=sor_iters, sor_omega=sor_omega,
+            q=jf(asg.q), dip_loc=jf(asg.dip_loc), quad_loc=jf(asg.quad_loc),
+            frame_z=jnp.asarray(asg.frame_z), frame_x=jnp.asarray(asg.frame_x),
+            frame_kind=jnp.asarray(asg.frame_kind),
+            alpha=jf(asg.alpha), pdamp=jf(asg.alpha ** (1.0 / 6.0)),
+            thole=jf(asg.thole),
+            vdw_rmin=jf(asg.vdw_rmin), vdw_eps=jf(asg.vdw_eps),
+            vdw_red=jf(asg.vdw_red), heavy_of=jnp.asarray(asg.heavy_of),
+            mx_pairs=mx_p, mx_scale=mx_s,
+            vx_pairs=vx_p, vx_scale=vx_s,
+            px_pairs=px_p, px_scale=px_s,
+            grp_pairs=jnp.asarray(asg.group_pairs),
+        )
+
+    def neighbor_list(self, P, k_max: int = 192) -> NeighborList:
+        return build_neighbor_list(P, self.cutoff, k_max, cell=self.cell)
+
+    # ------------------------------------------------------------------
+    def lab_multipoles(self, P):
+        mu, theta = rotate_multipoles(
+            P, self.frame_z, self.frame_x, self.frame_kind,
+            self.dip_loc.astype(P.dtype), self.quad_loc.astype(P.dtype),
+        )
+        return self.q.astype(P.dtype), mu, theta
+
+    def _packed(self, P):
+        """One [N,15] matrix: q, mu, theta6, pdamp, thole, positions —
+        a single row gather per pair set replaces ~14 component gathers."""
+        q, mu, theta = self.lab_multipoles(P)
+        t6 = [theta[:, a, b] for a, b in _T6]
+        return (
+            jnp.concatenate(
+                [
+                    q[:, None], mu,
+                    jnp.stack(t6, axis=-1),
+                    self.pdamp[:, None].astype(P.dtype),
+                    self.thole[:, None].astype(P.dtype),
+                    P,
+                ],
+                axis=-1,
+            ),
+            q, mu, theta,
+        )
+
+    @staticmethod
+    def _slices(M):
+        """(q, mu3, t6, pdamp, thole, pos3) column views of a packed
+        gather result (any leading shape)."""
+        return (
+            M[..., _Q],
+            (M[..., _MU], M[..., _MU + 1], M[..., _MU + 2]),
+            tuple(M[..., _T + c] for c in range(6)),
+            M[..., _PD],
+            M[..., _TH],
+            (M[..., _POS], M[..., _POS + 1], M[..., _POS + 2]),
+        )
+
+    def _pair_geom(self, pm, nl: NeighborList):
+        """Packed j-side rows + displacements/liveness, all [N,K]."""
+        Mj = pm[nl.idx]
+        qj, mj3, tj6, pdj, thj, (pjx, pjy, pjz) = self._slices(Mj)
+        dx = _minimum_image(pjx - pm[:, None, _POS], self.cell[0])
+        dy = _minimum_image(pjy - pm[:, None, _POS + 1], self.cell[1])
+        dz = _minimum_image(pjz - pm[:, None, _POS + 2], self.cell[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        live = nl.valid & (r2 < self.cutoff * self.cutoff)
+        # dead slots clamp to the last atom (idx == n), giving r = 0; park
+        # them at a finite displacement so the masked-out branch never
+        # divides by zero (0 * inf = NaN in the backward pass)
+        dx = jnp.where(live, dx, 10.0)
+        dy = jnp.where(live, dy, 0.0)
+        dz = jnp.where(live, dz, 0.0)
+        r2 = jnp.where(live, r2, 100.0)
+        return (qj, mj3, tj6, pdj, thj), (dx, dy, dz), r2, live
+
+    def permanent_energy(self, P, nl: NeighborList):
+        pm, q, mu, theta = self._packed(P)
+        (qj, mj3, tj6, _, _), (dx, dy, dz), r2, live = self._pair_geom(pm, nl)
+        row = jax.lax.broadcasted_iota(jnp.int32, nl.idx.shape, 0)
+        live = live & (nl.idx > row)              # each unordered pair once
+        r2s = jnp.where(live, r2, 1.0)
+        qi, mi3, ti6, _, _, _ = self._slices(pm[:, None, :])
+        e = MP.multipole_pair_energy_soa(
+            dx, dy, dz, qi, qj, mi3, mj3, ti6, tj6,
+            MP.bn_chain_erfc(r2s, self.pme.beta),
+        )
+        e_real = jnp.sum(jnp.where(live, e, 0.0))
+
+        e_rec = MP.reciprocal_energy(self.pme, P, q, mu, theta)
+        e_self = MP.self_energy(q, mu, theta, self.pme.beta)
+
+        # scaled-pair corrections with the plain Coulomb chain (flat)
+        e_pair = self._exception_pair_energy(pm, self.mx_pairs)
+        e_corr = jnp.sum((self.mx_scale - 1.0) * e_pair)
+        return units.COULOMB * (e_real + e_rec + e_self + e_corr)
+
+    def _exception_pair_energy(self, pm, pairs):
+        Mi = pm[pairs[:, 0]]
+        Mj = pm[pairs[:, 1]]
+        qi, mi3, ti6, _, _, (ix, iy, iz) = self._slices(Mi)
+        qj, mj3, tj6, _, _, (jx, jy, jz) = self._slices(Mj)
+        dx = _minimum_image(jx - ix, self.cell[0])
+        dy = _minimum_image(jy - iy, self.cell[1])
+        dz = _minimum_image(jz - iz, self.cell[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        return MP.multipole_pair_energy_soa(
+            dx, dy, dz, qi, qj, mi3, mj3, ti6, tj6, MP.bn_chain_coulomb(r2)
+        )
+
+    # ------------------------------------------------------------------
+    def _fields(self, pm, nl: NeighborList):
+        """(E_d [N,3], E_p [N,3], SOR geometry) — packed-gather fields."""
+        (qj, mj3, tj6, pdj, thj), (dx, dy, dz), r2, live = self._pair_geom(pm, nl)
+        # field-point convention: x = r_i - r_j
+        fx_, fy_, fz_ = -dx, -dy, -dz
+        r = jnp.sqrt(jnp.where(live, r2, 100.0))
+        pd = pm[:, None, _PD] * pdj
+        gm = jnp.minimum(pm[:, None, _TH], thj)
+        l3, l5, l7 = _thole_lambdas(r, pd, gm)
+        ex, ey, ez = MP.field_soa(fx_, fy_, fz_, qj, mj3, tj6, l3, l5, l7)
+        E_full = jnp.stack(
+            [
+                jnp.sum(jnp.where(live, ex, 0.0), axis=1),
+                jnp.sum(jnp.where(live, ey, 0.0), axis=1),
+                jnp.sum(jnp.where(live, ez, 0.0), axis=1),
+            ],
+            axis=-1,
+        )
+
+        n = self.n_atoms
+
+        def corrections(pairs, weight):
+            Mi = pm[pairs[:, 0]]
+            Mj = pm[pairs[:, 1]]
+            qi, mi3, ti6, pdi, thi, (ix, iy, iz) = self._slices(Mi)
+            qj_, mj3_, tj6_, pdj_, thj_, (jx, jy, jz) = self._slices(Mj)
+            cx = _minimum_image(ix - jx, self.cell[0])     # r_i - r_j
+            cy = _minimum_image(iy - jy, self.cell[1])
+            cz = _minimum_image(iz - jz, self.cell[2])
+            cr = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            cl3, cl5, cl7 = _thole_lambdas(
+                cr, pdi * pdj_, jnp.minimum(thi, thj_)
+            )
+            f_i = MP.field_soa(cx, cy, cz, qj_, mj3_, tj6_, cl3, cl5, cl7)
+            f_j = MP.field_soa(-cx, -cy, -cz, qi, mi3, ti6, cl3, cl5, cl7)
+            src = jnp.concatenate(
+                [
+                    weight[:, None] * jnp.stack(f_i, axis=-1),
+                    weight[:, None] * jnp.stack(f_j, axis=-1),
+                ]
+            )
+            dst = jnp.concatenate([pairs[:, 0], pairs[:, 1]])
+            return jax.ops.segment_sum(src, dst, num_segments=n)
+
+        E_d = E_full - corrections(
+            self.grp_pairs, jnp.ones(self.grp_pairs.shape[0], pm.dtype)
+        )
+        E_p = E_full - corrections(self.px_pairs, 1.0 - self.px_scale)
+        return E_d, E_p, (fx_, fy_, fz_), live, l3, l5
+
+    def induced_dipoles(self, P, nl: NeighborList):
+        pm, *_ = self._packed(P)
+        E_d, E_p, (dx, dy, dz), live, l3, l5 = self._fields(pm, nl)
+        alpha = self.alpha[:, None].astype(P.dtype)
+
+        def step(mu_ind, _):
+            Mj = mu_ind[nl.idx]                    # 1 row gather per iter
+            fx, fy, fz = MP.dipole_field_soa(
+                dx, dy, dz, (Mj[..., 0], Mj[..., 1], Mj[..., 2]), l3, l5
+            )
+            Em = jnp.stack(
+                [
+                    jnp.sum(jnp.where(live, fx, 0.0), axis=1),
+                    jnp.sum(jnp.where(live, fy, 0.0), axis=1),
+                    jnp.sum(jnp.where(live, fz, 0.0), axis=1),
+                ],
+                axis=-1,
+            )
+            return mu_ind + self.sor_omega * (alpha * (E_d + Em) - mu_ind), None
+
+        mu0 = alpha * E_d
+        mu_ind, _ = jax.lax.scan(step, mu0, None, length=self.sor_iters)
+        return mu_ind, E_p
+
+    def polarization_energy(self, P, nl: NeighborList):
+        mu_ind, E_p = self.induced_dipoles(P, nl)
+        return -0.5 * units.COULOMB * jnp.sum(mu_ind * E_p)
+
+    # ------------------------------------------------------------------
+    def _vdw_pair(self, r, rm_i, rm_j, ep_i, ep_j):
+        r0 = (rm_i**3 + rm_j**3) / jnp.maximum(rm_i**2 + rm_j**2, 1e-12)
+        se = jnp.sqrt(ep_i) + jnp.sqrt(ep_j)
+        eps = 4.0 * ep_i * ep_j / jnp.maximum(se * se, 1e-12)
+        rho = r / jnp.maximum(r0, 1e-12)
+        f1 = (1.07 / (rho + 0.07)) ** 7
+        f2 = 1.12 / (rho**7 + 0.12) - 2.0
+        e = eps * f1 * f2
+        rho_c = self.cutoff / jnp.maximum(r0, 1e-12)
+        e_cut = eps * (1.07 / (rho_c + 0.07)) ** 7 * (
+            1.12 / (rho_c**7 + 0.12) - 2.0
+        )
+        return e - e_cut
+
+    def _vdw_packed(self, P):
+        """[N,8]: reduced sites (3), rmin, eps, pad — one gather for vdW."""
+        red = self.vdw_red[:, None].astype(P.dtype)
+        sites = P[self.heavy_of] + red * (P - P[self.heavy_of])
+        return jnp.concatenate(
+            [
+                sites,
+                self.vdw_rmin[:, None].astype(P.dtype),
+                self.vdw_eps[:, None].astype(P.dtype),
+            ],
+            axis=-1,
+        )
+
+    def vdw_energy(self, P, nl: NeighborList):
+        vm = self._vdw_packed(P)
+        Vj = vm[nl.idx]                            # [N,K,5]
+        dx = _minimum_image(Vj[..., 0] - vm[:, None, 0], self.cell[0])
+        dy = _minimum_image(Vj[..., 1] - vm[:, None, 1], self.cell[1])
+        dz = _minimum_image(Vj[..., 2] - vm[:, None, 2], self.cell[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        row = jax.lax.broadcasted_iota(jnp.int32, nl.idx.shape, 0)
+        live = nl.valid & (nl.idx > row) & (r2 < self.cutoff * self.cutoff)
+        r = jnp.sqrt(jnp.where(live, r2, 1.0))
+        e = jnp.sum(
+            jnp.where(
+                live,
+                self._vdw_pair(
+                    r, vm[:, None, 3], Vj[..., 3], vm[:, None, 4], Vj[..., 4]
+                ),
+                0.0,
+            )
+        )
+        # scaled-pair corrections (flat, 2 row gathers)
+        Vi = vm[self.vx_pairs[:, 0]]
+        Vx = vm[self.vx_pairs[:, 1]]
+        cx = _minimum_image(Vx[:, 0] - Vi[:, 0], self.cell[0])
+        cy = _minimum_image(Vx[:, 1] - Vi[:, 1], self.cell[1])
+        cz = _minimum_image(Vx[:, 2] - Vi[:, 2], self.cell[2])
+        rx = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        within = rx < self.cutoff
+        e_x = jnp.where(
+            within,
+            self._vdw_pair(rx, Vi[:, 3], Vx[:, 3], Vi[:, 4], Vx[:, 4]),
+            0.0,
+        )
+        return e + jnp.sum((self.vx_scale - 1.0) * e_x)
+
+    # ------------------------------------------------------------------
+    def energy(self, P, nl: NeighborList):
+        return (
+            self.permanent_energy(P, nl)
+            + self.polarization_energy(P, nl)
+            + self.vdw_energy(P, nl)
+        )
+
+    def energy_forces(self, P, nl: NeighborList):
+        e, g = jax.value_and_grad(lambda p: self.energy(p, nl))(P)
+        return e, -g
