@@ -55,8 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="solvate+equilibrate raw inputs (default: when the "
                         "input has no water and --solvent is requested)")
     p.add_argument("--mm-method", type=str, default="mm-engine",
-                   choices=["mm-engine", "tinker", "tinker-GPU"],
-                   help="tinker options map to the in-framework MM engine")
+                   choices=["mm-engine", "amoeba", "tinker", "tinker-GPU"],
+                   help="'amoeba' runs the in-framework polarizable AMOEBA "
+                        "engine (permanent multipoles + mutual induction + "
+                        "buffered 14-7) for both QM/MM solvent evaluations — "
+                        "the reference's Tinker9 physics; 'tinker' options "
+                        "map to the fixed-charge MM engine")
     p.add_argument("--polarizable-mm", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="AMOEBA-class mutual induced-dipole polarization in "
@@ -193,6 +197,7 @@ def main(argv=None) -> int:
         opt_iters=args.opt_iters,
         polarizable_mm=args.polarizable_mm,
         rigid_water=args.rigid_water,
+        mm_backend="amoeba" if args.mm_method == "amoeba" else "ff19sb",
     )
     try:
         sim.simulate(args.sim_steps, restart=args.restart)

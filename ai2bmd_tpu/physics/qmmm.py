@@ -81,10 +81,18 @@ class QMMMPotential:
     aux = (full-system neighbor list, QM-side carry).  The QM term may
     itself be stateful (warm-started cap optimization): pass
     qm_stateful=(P_prot, qm_aux) -> (E, F, qm_aux); a stateless
-    qm_energy_forces is lifted automatically."""
+    qm_energy_forces is lifted automatically.
 
-    mm_full: MM.MMSystem
-    mm_prot: MM.MMSystem
+    The MM backend is pluggable: "ff19sb" (fixed-charge engine,
+    physics/mm.py, the shipping default) or "amoeba" (the full
+    polarizable engine, physics/amoeba_system.py — the reference's actual
+    solvent physics, tinker_async.py:127-145).  With the AMOEBA backend
+    the protein's valence terms are OMITTED from BOTH MM evaluations —
+    they cancel exactly in the subtractive combiner, so only the AMOEBA
+    water bond/angle terms are added on the full-system side."""
+
+    mm_full_ef: Any              # (P_full, nl) -> (E, F)
+    mm_prot_ef: Any              # (P_prot, nl_prot) -> (E, F)
     qm_energy_forces: Any        # (P_prot, qm_aux) -> (E, F, qm_aux)
     qm_init_aux: Any
     sel: Any                     # [n_prot] int32 protein atom indices
@@ -92,6 +100,8 @@ class QMMMPotential:
     k_neighbors: int
     skin: float
     top: SystemTopology
+    cutoff: float
+    cell: Any
 
     @classmethod
     def build(
@@ -106,33 +116,46 @@ class QMMMPotential:
         qm_stateful=None,
         qm_init_aux=(),
         polarizable: bool = False,
+        mm_backend: str = "ff19sb",
+        amoeba_sor_iters: int = 8,
     ) -> "QMMMPotential":
         if atoms.cell is None:
             raise ValueError("solvated QM/MM needs a periodic cell (CRYST1)")
         top = build_topology(atoms)
         sel = top.protein_atoms
         top_prot = _subsystem_topology(top, sel)
-        pol_full = pol_prot = None
-        if polarizable:
-            # AMOEBA-class mutual induced dipoles on both MM evaluations;
-            # 1-2/1-3 pairs act as polarization-group masking
-            from ai2bmd_tpu.physics.polarization import PolarizationParams
 
-            pol_full = PolarizationParams.build(
-                atoms.numbers, top.charges, top.excl_pairs, cutoff=cutoff
+        if mm_backend == "amoeba":
+            mm_full_ef, mm_prot_ef = cls._build_amoeba_backend(
+                atoms, top, top_prot, sel, cutoff, amoeba_sor_iters
             )
-            pol_prot = PolarizationParams.build(
-                atoms.numbers[sel], top_prot.charges, top_prot.excl_pairs,
-                cutoff=cutoff,
+        elif mm_backend == "ff19sb":
+            pol_full = pol_prot = None
+            if polarizable:
+                # induced dipoles driven by the fixed charges (round-1
+                # hybrid; superseded by mm_backend="amoeba")
+                from ai2bmd_tpu.physics.polarization import PolarizationParams
+
+                pol_full = PolarizationParams.build(
+                    atoms.numbers, top.charges, top.excl_pairs, cutoff=cutoff
+                )
+                pol_prot = PolarizationParams.build(
+                    atoms.numbers[sel], top_prot.charges,
+                    top_prot.excl_pairs, cutoff=cutoff,
+                )
+            mm_full = MM.MMSystem.build(
+                top, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing, polarization=pol_full,
             )
-        mm_full = MM.MMSystem.build(
-            top, atoms.cell, cutoff=cutoff, beta=beta,
-            grid_spacing=grid_spacing, polarization=pol_full,
-        )
-        mm_prot = MM.MMSystem.build(
-            top_prot, atoms.cell, cutoff=cutoff, beta=beta,
-            grid_spacing=grid_spacing, polarization=pol_prot,
-        )
+            mm_prot = MM.MMSystem.build(
+                top_prot, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing, polarization=pol_prot,
+            )
+            mm_full_ef = lambda P, nl: MM.mm_energy_forces(mm_full, P, nl)
+            mm_prot_ef = lambda Pp, nlp: MM.mm_energy_forces(mm_prot, Pp, nlp)
+        else:
+            raise ValueError(f"unknown mm_backend {mm_backend!r}")
+
         if qm_stateful is None:
             fn = qm_energy_forces
 
@@ -141,41 +164,101 @@ class QMMMPotential:
                 return e, f, qa
 
         return cls(
-            mm_full=mm_full, mm_prot=mm_prot,
+            mm_full_ef=mm_full_ef, mm_prot_ef=mm_prot_ef,
             qm_energy_forces=qm_stateful,
             qm_init_aux=qm_init_aux,
             sel=jnp.asarray(sel, jnp.int32),
             n_atoms=top.n_atoms,
             k_neighbors=k_neighbors, skin=skin, top=top,
+            cutoff=cutoff, cell=jnp.asarray(atoms.cell, jnp.float32),
         )
+
+    @staticmethod
+    def _build_amoeba_backend(atoms, top, top_prot, sel, cutoff, sor_iters):
+        from ai2bmd_tpu import units
+        from ai2bmd_tpu.physics.amoeba import WATER_R_OH, WATER_THETA_DEG
+        from ai2bmd_tpu.physics.amoeba_protein import assign_amoeba
+        from ai2bmd_tpu.physics.amoeba_system import AmoebaPeriodicSystem
+
+        asg_full = assign_amoeba(
+            atoms.atom_names, atoms.residue_names, atoms.positions, top.bonds
+        )
+        sys_full = AmoebaPeriodicSystem.build(
+            asg_full, atoms.cell, cutoff=cutoff, sor_iters=sor_iters,
+            grid_spacing=0.9,
+        )
+        names_p = [atoms.atom_names[i] for i in sel]
+        res_p = [atoms.residue_names[i] for i in sel]
+        asg_prot = assign_amoeba(
+            names_p, res_p, atoms.positions[sel], top_prot.bonds
+        )
+        sys_prot = AmoebaPeriodicSystem.build(
+            asg_prot, atoms.cell, cutoff=cutoff, sor_iters=sor_iters,
+            grid_spacing=0.9,
+        )
+
+        # AMOEBA water valence terms (amoebabio18.prm bond 90-91 / angle
+        # 91-90-91, harmonic part); solvated PDBs order waters O,H1,H2
+        wat_o = jnp.asarray(top.water_oxygens, jnp.int32)
+        bond_k = 556.85 * units.kcal_per_mol
+        angle_k = 48.70 * units.kcal_per_mol
+        theta0 = float(np.deg2rad(WATER_THETA_DEG))
+
+        def water_bonded(P):
+            if wat_o.shape[0] == 0:
+                return 0.0
+            o = wat_o
+            e = 0.0
+            for h in (o + 1, o + 2):
+                d = jnp.sqrt(jnp.sum((P[h] - P[o]) ** 2, axis=-1))
+                e = e + jnp.sum(bond_k * (d - WATER_R_OH) ** 2)
+            v1 = P[o + 1] - P[o]
+            v2 = P[o + 2] - P[o]
+            y = jnp.sqrt(jnp.sum(jnp.cross(v1, v2) ** 2, axis=-1))
+            x = jnp.sum(v1 * v2, axis=-1)
+            th = jnp.arctan2(y, x)
+            return e + jnp.sum(angle_k * (th - theta0) ** 2)
+
+        def mm_full_ef(P, nl):
+            e, g = jax.value_and_grad(
+                lambda p: sys_full.energy(p, nl) + water_bonded(p)
+            )(P)
+            return e, -g
+
+        def mm_prot_ef(Pp, nlp):
+            e, g = jax.value_and_grad(
+                lambda p: sys_prot.energy(p, nlp)
+            )(Pp)
+            return e, -g
+
+        return mm_full_ef, mm_prot_ef
 
     # -- aux = (full-system neighbor list, QM carry) -------------------------
     def init_aux(self, P: jnp.ndarray):
         nl = NL.build_neighbor_list(
-            P, self.mm_full.cutoff + self.skin, self.k_neighbors, self.mm_full.cell
+            P, self.cutoff + self.skin, self.k_neighbors, self.cell
         )
         return (nl, self.qm_init_aux)
 
     def __call__(self, P: jnp.ndarray, aux):
         nl, qm_aux = aux
         nl = jax.lax.cond(
-            NL.needs_rebuild(nl, P, self.skin, self.mm_full.cell),
+            NL.needs_rebuild(nl, P, self.skin, self.cell),
             lambda: NL.build_neighbor_list(
-                P, self.mm_full.cutoff + self.skin, self.k_neighbors,
-                self.mm_full.cell,
+                P, self.cutoff + self.skin, self.k_neighbors, self.cell,
             ),
             lambda: nl,
         )
 
-        e2, f2 = MM.mm_energy_forces(self.mm_full, P, nl)
+        e2, f2 = self.mm_full_ef(P, nl)
 
         P_prot = P[self.sel]
         n_prot = self.sel.shape[0]
         nl_prot = NL.build_neighbor_list(
-            P_prot, self.mm_prot.cutoff, min(self.k_neighbors, n_prot),
-            self.mm_prot.cell, tile=min(512, n_prot),
+            P_prot, self.cutoff, min(self.k_neighbors, n_prot),
+            self.cell, tile=min(512, n_prot),
         )
-        e1, f1 = MM.mm_energy_forces(self.mm_prot, P_prot, nl_prot)
+        e1, f1 = self.mm_prot_ef(P_prot, nl_prot)
 
         eq, fq, qm_aux = self.qm_energy_forces(P_prot, qm_aux)
 

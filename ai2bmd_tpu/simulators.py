@@ -68,6 +68,7 @@ class ProteinSimulation:
         warm_caps: bool = True,
         polarizable_mm: bool = False,
         rigid_water: bool = False,
+        mm_backend: str = "ff19sb",
     ) -> "ProteinSimulation":
         prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
         log_dir = log_dir or os.path.join(os.getcwd(), f"Logs-{prot_name}")
@@ -122,11 +123,12 @@ class ProteinSimulation:
             if use_warm:
                 qmmm = QMMMPotential.build(
                     atoms, qm_stateful=qm_stateful, qm_init_aux=qm_aux0,
-                    polarizable=polarizable_mm,
+                    polarizable=polarizable_mm, mm_backend=mm_backend,
                 )
             else:
                 qmmm = QMMMPotential.build(
-                    atoms, pot.energy_forces, polarizable=polarizable_mm
+                    atoms, pot.energy_forces, polarizable=polarizable_mm,
+                    mm_backend=mm_backend,
                 )
             init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
             constraint = None
