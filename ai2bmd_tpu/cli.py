@@ -283,7 +283,7 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
             timestep_fs=args.timestep,
             temp_K=float(args.temp_k),
             steps_per_call=args.record_per_steps,
-            warm_iters=2,
+            warm_iters=1,
         )
     else:
         mesh = make_mesh(n_dp, n_mp)

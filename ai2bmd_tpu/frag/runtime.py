@@ -278,7 +278,7 @@ def fragment_energy_forces_warm(
     P: jnp.ndarray,
     cfg: V.ViSNetConfig,
     cap_delta: jnp.ndarray,
-    warm_iters: int = 2,
+    warm_iters: int = 1,
 ):
     """Warm-started variant: cap hydrogens start from the previous step's
     optimized offsets (relative to the geometric placement), so a few
@@ -359,7 +359,7 @@ def ensemble_fragment_energy_forces_warm(
     Ps: jnp.ndarray,
     cfg,
     cap_delta: jnp.ndarray,
-    warm_iters: int = 2,
+    warm_iters: int = 1,
     replica_chunk: int = 8,
 ):
     """Warm-started fragment potential over Rl replicas.

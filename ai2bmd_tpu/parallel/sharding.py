@@ -195,7 +195,7 @@ class ReplicaEnsemble:
         temp_K: float = 300.0,
         friction_per_fs: float = 0.001,
         steps_per_call: int = 1,
-        warm_iters: int = 2,
+        warm_iters: int = 1,
         replica_chunk: int = 8,
     ) -> "ReplicaEnsemble":
         from ai2bmd_tpu.frag.runtime import (

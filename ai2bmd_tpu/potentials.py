@@ -78,7 +78,7 @@ class FragmentPotential:
 
         return initial_cap_delta(self.rt, P)
 
-    def stateful_energy_forces(self, P: jnp.ndarray, aux, warm_iters: int = 2):
+    def stateful_energy_forces(self, P: jnp.ndarray, aux, warm_iters: int = 1):
         from ai2bmd_tpu.frag.runtime import fragment_energy_forces_warm
 
         e_b, f_b, aux = fragment_energy_forces_warm(

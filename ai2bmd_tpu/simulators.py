@@ -100,14 +100,15 @@ class ProteinSimulation:
             hbond = BondRestraint.find_hydrogen_bonds(prot.atoms)
 
         # warm-started cap optimization: carry optimized cap offsets in the
-        # integrator aux.  2 warm iterations measure BETTER converged than
+        # integrator aux.  ONE warm iteration measures BETTER converged than
         # the reference's per-step cold 10-iteration LBFGS (max|dF| vs a
-        # 30-iter solve: 1.0e-2 warm2 vs 1.4e-2 cold10 eV/A on chig at
-        # 1 fs-step displacements) at 25% of the cost
+        # 30-iter solve on chig at 1 fs-step displacements: 1.06e-2 warm1,
+        # 0.99e-2 warm2, 1.37e-2 cold10; warm1 stays ~0.95e-2 over repeated
+        # MD-like cycles) at a fraction of the cost
         import jax.numpy as jnp
 
         use_warm = warm_caps and mode == "fragment"
-        warm_iters = 2
+        warm_iters = 1
         if use_warm:
             qm_pos0 = jnp.asarray(prot.positions, jnp.float32)
             qm_aux0 = pot.init_cap_delta(qm_pos0)

@@ -78,7 +78,7 @@ def main():
             pot = FragmentPotential.build(prot, params, mode_cfg, longrange="mm")
             coeffs = L.LangevinCoeffs.build(prot.masses, 1.0, 300.0, 0.001)
             # production default: warm-started cap optimization
-            warm = lambda P, aux: pot.stateful_energy_forces(P, aux, warm_iters=2)
+            warm = lambda P, aux: pot.stateful_energy_forces(P, aux, warm_iters=1)
 
             @jax.jit
             def chunk(state):

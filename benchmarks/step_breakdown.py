@@ -73,7 +73,7 @@ def main():
 
     # A. full step
     coeffs = L.LangevinCoeffs.build(prot.masses, 1.0, 300.0, 0.001)
-    warm = lambda p, a: pot.stateful_energy_forces(p, a, warm_iters=2)
+    warm = lambda p, a: pot.stateful_energy_forces(p, a, warm_iters=1)
     e0, f0, auxw = jax.jit(warm)(P, aux0)
     st0 = L.MDState(P, L.maxwell_boltzmann_velocities(jax.random.PRNGKey(0), prot.masses, 300.0),
                     f0, e0, jax.random.PRNGKey(0), jnp.asarray(0), aux=auxw)

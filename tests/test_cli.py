@@ -46,7 +46,7 @@ def test_cli_end_to_end(tmp_path):
             "--record-per-steps", "2", "--no-solvent",
             "--model-preset", "tiny", "--opt-iters", "2",
         ],
-        capture_output=True, text=True, timeout=500,
+        capture_output=True, text=True, timeout=900,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
         cwd="/root/repo",
     )
@@ -68,7 +68,7 @@ def test_cli_ensemble_mode(tmp_path):
             "--replicas", "4", "--mesh-dp", "2", "--mesh-mp", "4",
             "--model-preset", "tiny", "--opt-iters", "2", "--no-solvent",
         ],
-        capture_output=True, text=True, timeout=500,
+        capture_output=True, text=True, timeout=900,
         env={
             **_os.environ,
             "JAX_PLATFORMS": "cpu",
