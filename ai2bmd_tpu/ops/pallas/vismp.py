@@ -131,11 +131,56 @@ def _kernel(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
                cutoff=cutoff)
 
 
+def _kernel_res(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+                adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+                xagg_ref, vecagg_ref, zdkv_ref, zs_ref,
+                *, TI, A, H, nh, S, cutoff):
+    """Message path + stored pre-activations for the SA backward."""
+    _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+               adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+               xagg_ref, vecagg_ref, zdkv_ref, zs_ref,
+               TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff)
+
+
+def _kernel_full_res(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref,
+                     dist_ref, adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref,
+                     pool_ref, wt_ref, wsrc_ref, wf_ref, bf_ref,
+                     xagg_ref, vecagg_ref, df_ref, zdkv_ref, zs_ref, zf_ref,
+                     *, TI, A, H, nh, S, cutoff):
+    """Edge block + edge update, storing zdkv/zs/zf for the SA backward."""
+    _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
+               adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
+               xagg_ref, vecagg_ref, zdkv_ref, zs_ref,
+               TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff)
+    f32 = jnp.float32
+    E = TI * A
+    edge = edge_ref[0].reshape(E, H)
+    zf = _mm(edge, wf_ref[...]) + bf_ref[...]
+    zf_ref[0] = zf.reshape(TI, A, H).astype(zf_ref.dtype)
+    f_out = jax.nn.silu(zf)
+    wt = wt_ref[0]                        # [S, TI, H]
+    wsrc = wsrc_ref[0]                    # [S, A, H]
+    S_e = jnp.zeros((E, H), f32)
+    for c in range(S):
+        wt_c = jnp.broadcast_to(wt[c][:, None, :], (TI, A, H)).reshape(E, H)
+        ws_c = jnp.broadcast_to(wsrc[c][None, :, :], (TI, A, H)).reshape(E, H)
+        S_e = S_e + wt_c * ws_c
+    adj_e = jnp.broadcast_to(
+        adj_ref[0][:, :, None], (TI, A, H)
+    ).reshape(E, H)
+    df_ref[0] = (f_out * S_e * adj_e).reshape(TI, A, H).astype(df_ref.dtype)
+
+
 def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
                adj_ref, wdkv_ref, bdkv_ref, ws_ref, bs_ref, pool_ref,
-               xagg_ref, vecagg_ref, *, TI, A, H, nh, S, cutoff):
+               xagg_ref, vecagg_ref, zdkv_ref=None, zs_ref=None,
+               *, TI, A, H, nh, S, cutoff):
     """Processes one (fragment, i-block) grid cell: TI center atoms against
-    all A sources; all [TI*A, H]-sized intermediates stay in VMEM."""
+    all A sources; all [TI*A, H]-sized intermediates stay in VMEM.
+
+    When zdkv_ref/zs_ref are given, the two pre-activation matmul results
+    are ALSO written to HBM — the stored-activation backward then skips
+    recomputing them (2 of its 4 big MXU passes per layer)."""
     f32 = jnp.float32
     E = TI * A
 
@@ -145,9 +190,10 @@ def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
         return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
 
     edge = edge_ref[0].reshape(E, H)
-    dkv = jax.nn.silu(
-        _mm(edge, wdkv_ref[...]) + bdkv_ref[...]
-    )
+    zdkv = _mm(edge, wdkv_ref[...]) + bdkv_ref[...]
+    if zdkv_ref is not None:
+        zdkv_ref[0] = zdkv.reshape(TI, A, 2 * H).astype(zdkv_ref.dtype)
+    dkv = jax.nn.silu(zdkv)
     dk = dkv[:, :H]
     dv = dkv[:, H:]
 
@@ -173,9 +219,10 @@ def _edge_core(q_ref, k_ref, v_ref, vec_ref, edge_ref, dsh_ref, dist_ref,
     v_e = jnp.broadcast_to(v[None, :, :], (TI, A, H)).reshape(E, H)
     v_ij = v_e * dv * attn_full
 
-    s = jax.nn.silu(
-        _mm(v_ij, ws_ref[...]) + bs_ref[...]
-    )
+    zs = _mm(v_ij, ws_ref[...]) + bs_ref[...]
+    if zs_ref is not None:
+        zs_ref[0] = zs.reshape(TI, A, 2 * H).astype(zs_ref.dtype)
+    s = jax.nn.silu(zs)
     adj_e = edge_bcast(adj_ref[0])
     s1 = s[:, :H] * adj_e
     s2 = s[:, H:] * adj_e
@@ -386,6 +433,143 @@ def reference_edge_update(edge_attr, adj, wt_vec, wsrc_vec, w_f, b_f):
     return jax.nn.silu(edge_attr @ w_f + b_f) * S_ij * adj_f[..., None]
 
 
+def _specs(A, H, S, nh, TI):
+    """Shared BlockSpec builders for the (fragment, i-block) grid."""
+
+    def full(block):
+        n = len(block)
+        return pl.BlockSpec((1,) + block, lambda b, i, n=n: (b,) + (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    def itiled(block, axis):
+        n = len(block)
+
+        def idx(b, i, axis=axis, n=n):
+            out = [0] * n
+            out[axis] = i
+            return (b,) + tuple(out)
+
+        return pl.BlockSpec((1,) + block, idx, memory_space=pltpu.VMEM)
+
+    def pspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, i, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    return full, itiled, pspec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def fused_edge_block_res(q, k, v, vec, edge_attr, d_sh, dist, adj,
+                         w_dkv, b_dkv, w_s, b_s, cutoff: float, nh: int,
+                         interpret: bool = False, i_tile: int = 8):
+    """fused_edge_block + stored pre-activations (zdkv, zs) [B,A,A,2H]."""
+    B, A, H = q.shape
+    S = vec.shape[2]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
+    dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+    adj_f = adj.astype(q.dtype)
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+    kernel = functools.partial(
+        _kernel_res, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+    full, itiled, pspec = _specs(A, H, S, nh, TI)
+    xagg, vecagg_sm, zdkv, zs = pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),
+            full((A, H)), full((A, H)),
+            full((S, A, H)),
+            itiled((TI, A, H), 0),
+            itiled((S, TI, A), 1),
+            itiled((TI, A), 0),
+            itiled((TI, A), 0),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, nh)),
+        ],
+        out_specs=[
+            itiled((TI, H), 0), itiled((S, TI, H), 1),
+            itiled((TI, A, 2 * H), 0), itiled((TI, A, 2 * H), 0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, 2 * H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, 2 * H), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+      w_dkv, b_dkv, w_s, b_s, pool)
+    return xagg, jnp.transpose(vecagg_sm, (0, 2, 1, 3)), zdkv, zs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def fused_edge_block_with_update_res(q, k, v, vec, edge_attr, d_sh, dist,
+                                     adj, w_dkv, b_dkv, w_s, b_s, wt_vec,
+                                     wsrc_vec, w_f, b_f, cutoff: float,
+                                     nh: int, interpret: bool = False,
+                                     i_tile: int = 8):
+    """fused_edge_block_with_update + stored (zdkv, zs, zf)."""
+    B, A, H = q.shape
+    S = vec.shape[2]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
+    dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+    wt_sm = jnp.transpose(wt_vec, (0, 2, 1, 3))
+    wsrc_sm = jnp.transpose(wsrc_vec, (0, 2, 1, 3))
+    adj_f = adj.astype(q.dtype)
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+    kernel = functools.partial(
+        _kernel_full_res, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+    full, itiled, pspec = _specs(A, H, S, nh, TI)
+    xagg, vecagg_sm, df, zdkv, zs, zf = pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),
+            full((A, H)), full((A, H)),
+            full((S, A, H)),
+            itiled((TI, A, H), 0),
+            itiled((S, TI, A), 1),
+            itiled((TI, A), 0),
+            itiled((TI, A), 0),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, 2 * H)), pspec((2 * H,)),
+            pspec((H, nh)),
+            itiled((S, TI, H), 1),
+            full((S, A, H)),
+            pspec((H, H)), pspec((H,)),
+        ],
+        out_specs=[
+            itiled((TI, H), 0), itiled((S, TI, H), 1),
+            itiled((TI, A, H), 0),
+            itiled((TI, A, 2 * H), 0), itiled((TI, A, 2 * H), 0),
+            itiled((TI, A, H), 0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, 2 * H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, 2 * H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, H), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
+      w_dkv, b_dkv, w_s, b_s, pool, wt_sm, wsrc_sm, w_f, b_f)
+    return (xagg, jnp.transpose(vecagg_sm, (0, 2, 1, 3)), df, zdkv, zs, zf)
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP backward kernels (the production fused path)
 #
@@ -562,6 +746,233 @@ def _bwd_upd_kernel(edge_ref, adj_ref, wt_ref, wsrc_ref, wf_ref, bf_ref,
     gedge_ref[0] = _dotT(g_fo * _dsilu(zf), wf_ref[...]).reshape(TI, A, H).astype(gedge_ref.dtype)
 
 
+def _bwd_msg_kernel_sa(q_ref, k_ref, v_ref, vec_ref, zdkv_ref, zs_ref,
+                       dsh_ref, dist_ref, adj_ref, wdkv_ref, ws_ref,
+                       pool_ref, gx_ref, gva_ref,
+                       gq_ref, gk_ref, gv_ref, gvec_ref, gedge_ref, gdsh_ref,
+                       gdist_ref, *, TI, A, H, nh, S, cutoff):
+    """Stored-activation backward of the message path: loads zdkv/zs from
+    HBM instead of recomputing the two big forward matmuls (the remaining
+    recompute — attention pools, v_ij — is elementwise/cheap)."""
+    f32 = jnp.float32
+    E = TI * A
+    it = pl.program_id(1)
+
+    def ebc(m2):
+        return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
+
+    def ibc(m):
+        return jnp.broadcast_to(m[:, None, :], (TI, A, H)).reshape(E, H)
+
+    def jbc(m):
+        return jnp.broadcast_to(m[None, :, :], (TI, A, H)).reshape(E, H)
+
+    # ---- forward values from stored pre-activations ----
+    zdkv = zdkv_ref[0].reshape(E, 2 * H)
+    dkv = jax.nn.silu(zdkv)
+    dk = dkv[:, :H]
+    dv = dkv[:, H:]
+    q_e = ibc(q_ref[0])
+    k_e = jbc(k_ref[0])
+    v_e = jbc(v_ref[0])
+    pool = pool_ref[...]
+    p = q_e * k_e * dk
+    a = _mm(p, pool)
+    attn_full = _mm(jax.nn.silu(a), pool.T)
+    dist = dist_ref[0]
+    inside = (dist < cutoff).astype(f32)
+    cut = 0.5 * (jnp.cos(dist * (math.pi / cutoff)) + 1.0) * inside
+    adj = adj_ref[0]
+    gate = ebc(cut * adj)
+    g3 = attn_full * gate
+    v_ij = v_e * dv * g3
+    zs = zs_ref[0].reshape(E, 2 * H)
+    s = jax.nn.silu(zs)
+    adj_e = ebc(adj)
+    s1 = s[:, :H] * adj_e
+    s2 = s[:, H:] * adj_e
+
+    # ---- backward chains (identical to _bwd_msg_kernel) ----
+    @pl.when(it == 0)
+    def _init():
+        gk_ref[...] = jnp.zeros_like(gk_ref)
+        gv_ref[...] = jnp.zeros_like(gv_ref)
+        gvec_ref[...] = jnp.zeros_like(gvec_ref)
+
+    vec = vec_ref[0]
+    gva = gva_ref[0]
+    dsh = dsh_ref[0]
+    g_s1 = jnp.zeros((E, H), f32)
+    g_s2 = jnp.zeros((E, H), f32)
+    for c in range(S):
+        gvc = ibc(gva[c])
+        g_s1 = g_s1 + gvc * jbc(vec[c])
+        g_s2 = g_s2 + gvc * ebc(dsh[c])
+        gvec_ref[0, c] = gvec_ref[0, c] + (
+            (s1 * gvc).reshape(TI, A, H).sum(axis=0)
+        ).astype(gvec_ref.dtype)
+        gdsh_ref[0, c] = (
+            (gvc * s2).reshape(TI, A, H).sum(axis=-1)
+        ).astype(gdsh_ref.dtype)
+
+    g_s = jnp.concatenate([g_s1 * adj_e, g_s2 * adj_e], axis=1) * _dsilu(zs)
+    g_vij = _dotT(g_s, ws_ref[...]) + ibc(gx_ref[0])
+
+    gv_ref[0] = gv_ref[0] + (
+        (g_vij * dv * g3).reshape(TI, A, H).sum(axis=0)
+    ).astype(gv_ref.dtype)
+    g_dv = g_vij * v_e * g3
+    g_g3 = g_vij * v_e * dv
+
+    g_attn_full = g_g3 * gate
+    g_cut = (g_g3 * attn_full).reshape(TI, A, H).sum(axis=-1) * adj
+    dcut = -0.5 * (math.pi / cutoff) * jnp.sin(dist * (math.pi / cutoff)) * inside
+    gdist_ref[0] = (g_cut * dcut).astype(gdist_ref.dtype)
+
+    g_a = _mm(g_attn_full, pool) * _dsilu(a)
+    g_p = _mm(g_a, pool.T)
+    gq_ref[0] = ((g_p * k_e * dk).reshape(TI, A, H).sum(axis=1)).astype(gq_ref.dtype)
+    gk_ref[0] = gk_ref[0] + (
+        (g_p * q_e * dk).reshape(TI, A, H).sum(axis=0)
+    ).astype(gk_ref.dtype)
+    g_dk = g_p * q_e * k_e
+
+    g_dkv = jnp.concatenate([g_dk, g_dv], axis=1) * _dsilu(zdkv)
+    gedge_ref[0] = _dotT(g_dkv, wdkv_ref[...]).reshape(TI, A, H).astype(gedge_ref.dtype)
+
+
+def _bwd_upd_kernel_sa(adj_ref, wt_ref, wsrc_ref, wf_ref, zf_ref, gdf_ref,
+                       gedge_ref, gwt_ref, gwsrc_ref, *, TI, A, H, S):
+    """Stored-activation backward of the edge update (zf loaded)."""
+    f32 = jnp.float32
+    E = TI * A
+    it = pl.program_id(1)
+
+    def ebc(m2):
+        return jnp.broadcast_to(m2[:, :, None], (TI, A, H)).reshape(E, H)
+
+    def ibc(m):
+        return jnp.broadcast_to(m[:, None, :], (TI, A, H)).reshape(E, H)
+
+    def jbc(m):
+        return jnp.broadcast_to(m[None, :, :], (TI, A, H)).reshape(E, H)
+
+    @pl.when(it == 0)
+    def _init():
+        gwsrc_ref[...] = jnp.zeros_like(gwsrc_ref)
+
+    zf = zf_ref[0].reshape(E, H)
+    fo = jax.nn.silu(zf)
+    wt = wt_ref[0]
+    ws = wsrc_ref[0]
+    S_e = jnp.zeros((E, H), f32)
+    for c in range(S):
+        S_e = S_e + ibc(wt[c]) * jbc(ws[c])
+
+    g_dfm = gdf_ref[0].reshape(E, H) * ebc(adj_ref[0])
+    g_fo = g_dfm * S_e
+    g_Sij = g_dfm * fo
+    for c in range(S):
+        gwt_ref[0, c] = (
+            (g_Sij * jbc(ws[c])).reshape(TI, A, H).sum(axis=1)
+        ).astype(gwt_ref.dtype)
+        gwsrc_ref[0, c] = gwsrc_ref[0, c] + (
+            (g_Sij * ibc(wt[c])).reshape(TI, A, H).sum(axis=0)
+        ).astype(gwsrc_ref.dtype)
+    gedge_ref[0] = _dotT(g_fo * _dsilu(zf), wf_ref[...]).reshape(TI, A, H).astype(gedge_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
+)
+def _bwd_msg_call_sa(q, k, v, vec_sm, zdkv, zs, dsh_sm, dist, adj_f,
+                     w_dkv, w_s, g_xagg, g_vecagg_sm,
+                     cutoff: float, nh: int, interpret: bool = False,
+                     i_tile: int = 8):
+    B, A, H = q.shape
+    S = vec_sm.shape[1]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    pool = jnp.asarray(head_pool_matrix(H, nh), q.dtype)
+    kernel = functools.partial(
+        _bwd_msg_kernel_sa, TI=TI, A=A, H=H, nh=nh, S=S, cutoff=cutoff
+    )
+    full, itiled, pspec = _specs(A, H, S, nh, TI)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, H), 0),
+            full((A, H)), full((A, H)),
+            full((S, A, H)),
+            itiled((TI, A, 2 * H), 0),     # zdkv
+            itiled((TI, A, 2 * H), 0),     # zs
+            itiled((S, TI, A), 1),
+            itiled((TI, A), 0),
+            itiled((TI, A), 0),
+            pspec((H, 2 * H)),
+            pspec((H, 2 * H)),
+            pspec((H, nh)),
+            itiled((TI, H), 0),
+            itiled((S, TI, H), 1),
+        ],
+        out_specs=[
+            itiled((TI, H), 0),
+            full((A, H)),
+            full((A, H)),
+            full((S, A, H)),
+            itiled((TI, A, H), 0),
+            itiled((S, TI, A), 1),
+            itiled((TI, A), 0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A, H), q.dtype),
+            jax.ShapeDtypeStruct((B, S, A, A), q.dtype),
+            jax.ShapeDtypeStruct((B, A, A), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, vec_sm, zdkv, zs, dsh_sm, dist, adj_f,
+      w_dkv, w_s, pool, g_xagg, g_vecagg_sm)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "i_tile"))
+def _bwd_upd_call_sa(adj_f, wt_sm, wsrc_sm, w_f, zf, g_df,
+                     interpret: bool = False, i_tile: int = 8):
+    B, A, _, H = zf.shape
+    S = wt_sm.shape[1]
+    TI = min(i_tile, A)
+    assert A % TI == 0
+    kernel = functools.partial(_bwd_upd_kernel_sa, TI=TI, A=A, H=H, S=S)
+    full, itiled, pspec = _specs(A, H, S, 1, TI)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, A // TI),
+        in_specs=[
+            itiled((TI, A), 0),            # adj
+            itiled((S, TI, H), 1),         # wt
+            full((S, A, H)),               # wsrc
+            pspec((H, H)),
+            itiled((TI, A, H), 0),         # zf
+            itiled((TI, A, H), 0),         # g_df
+        ],
+        out_specs=[
+            itiled((TI, A, H), 0),
+            itiled((S, TI, H), 1),
+            full((S, A, H)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, A, A, H), zf.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), zf.dtype),
+            jax.ShapeDtypeStruct((B, S, A, H), zf.dtype),
+        ],
+        interpret=interpret,
+    )(adj_f, wt_sm, wsrc_sm, w_f, zf, g_df)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cutoff", "nh", "interpret", "i_tile")
 )
@@ -717,26 +1128,33 @@ def fused_vis_mp(cutoff: float, nh: int, last: bool,
 
         core = jax.custom_vjp(_primal)
 
-        def fwd(*args):
-            return _primal(*args), args
+        def fwd(q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, w_s, b_s):
+            xagg, vecagg, zdkv, zs = fused_edge_block_res(
+                q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+                w_dkv, b_dkv, w_s, b_s, cutoff, nh,
+                interpret=interpret, i_tile=i_tile,
+            )
+            return (xagg, vecagg), (
+                q, k, v, vec, d_sh, dist, adj_f, w_dkv, w_s, zdkv, zs
+            )
 
         def bwd(res, cts):
-            (q, k, v, vec, edge_attr, d_sh, dist, adj_f,
-             w_dkv, b_dkv, w_s, b_s) = res
+            (q, k, v, vec, d_sh, dist, adj_f, w_dkv, w_s, zdkv, zs) = res
             g_xagg, g_vecagg = cts
             vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
             dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
             gva_sm = jnp.transpose(g_vecagg, (0, 2, 1, 3))
-            g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call(
-                q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
-                w_dkv, b_dkv, w_s, b_s, g_xagg, gva_sm,
+            g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call_sa(
+                q, k, v, vec_sm, zdkv, zs, dsh_sm, dist, adj_f,
+                w_dkv, w_s, g_xagg, gva_sm,
                 cutoff, nh, interpret=interpret, i_tile=i_tile,
             )
             return (g_q, g_k, g_v, jnp.transpose(g_vec_sm, (0, 2, 1, 3)),
                     g_edge, jnp.transpose(g_dsh_sm, (0, 2, 3, 1)), g_dist,
                     jnp.zeros_like(adj_f), jnp.zeros_like(w_dkv),
-                    jnp.zeros_like(b_dkv), jnp.zeros_like(w_s),
-                    jnp.zeros_like(b_s))
+                    jnp.zeros(w_dkv.shape[1], w_dkv.dtype),
+                    jnp.zeros_like(w_s), jnp.zeros(w_s.shape[1], w_s.dtype))
 
         core.defvjp(fwd, bwd)
         return core
@@ -751,25 +1169,34 @@ def fused_vis_mp(cutoff: float, nh: int, last: bool,
 
     core = jax.custom_vjp(_primal)
 
-    def fwd(*args):
-        return _primal(*args), args
+    def fwd(q, k, v, vec, wt, wsrc, edge_attr, d_sh, dist, adj_f,
+            w_dkv, b_dkv, w_s, b_s, w_f, b_f):
+        xagg, vecagg, df, zdkv, zs, zf = fused_edge_block_with_update_res(
+            q, k, v, vec, edge_attr, d_sh, dist, adj_f,
+            w_dkv, b_dkv, w_s, b_s, wt, wsrc, w_f, b_f, cutoff, nh,
+            interpret=interpret, i_tile=i_tile,
+        )
+        return (xagg, vecagg, df), (
+            q, k, v, vec, wt, wsrc, d_sh, dist, adj_f,
+            w_dkv, w_s, w_f, zdkv, zs, zf,
+        )
 
     def bwd(res, cts):
-        (q, k, v, vec, wt, wsrc, edge_attr, d_sh, dist, adj_f,
-         w_dkv, b_dkv, w_s, b_s, w_f, b_f) = res
+        (q, k, v, vec, wt, wsrc, d_sh, dist, adj_f,
+         w_dkv, w_s, w_f, zdkv, zs, zf) = res
         g_xagg, g_vecagg, g_df = cts
         vec_sm = jnp.transpose(vec, (0, 2, 1, 3))
         dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
         gva_sm = jnp.transpose(g_vecagg, (0, 2, 1, 3))
-        g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call(
-            q, k, v, vec_sm, edge_attr, dsh_sm, dist, adj_f,
-            w_dkv, b_dkv, w_s, b_s, g_xagg, gva_sm,
+        g_q, g_k, g_v, g_vec_sm, g_edge, g_dsh_sm, g_dist = _bwd_msg_call_sa(
+            q, k, v, vec_sm, zdkv, zs, dsh_sm, dist, adj_f,
+            w_dkv, w_s, g_xagg, gva_sm,
             cutoff, nh, interpret=interpret, i_tile=i_tile,
         )
         wt_sm = jnp.transpose(wt, (0, 2, 1, 3))
         wsrc_sm = jnp.transpose(wsrc, (0, 2, 1, 3))
-        g_edge2, g_wt_sm, g_wsrc_sm = _bwd_upd_call(
-            edge_attr, adj_f, wt_sm, wsrc_sm, w_f, b_f, g_df,
+        g_edge2, g_wt_sm, g_wsrc_sm = _bwd_upd_call_sa(
+            adj_f, wt_sm, wsrc_sm, w_f, zf, g_df,
             interpret=interpret, i_tile=i_tile,
         )
         return (g_q, g_k, g_v, jnp.transpose(g_vec_sm, (0, 2, 1, 3)),
@@ -777,9 +1204,9 @@ def fused_vis_mp(cutoff: float, nh: int, last: bool,
                 jnp.transpose(g_wsrc_sm, (0, 2, 1, 3)),
                 g_edge + g_edge2, jnp.transpose(g_dsh_sm, (0, 2, 3, 1)),
                 g_dist, jnp.zeros_like(adj_f),
-                jnp.zeros_like(w_dkv), jnp.zeros_like(b_dkv),
-                jnp.zeros_like(w_s), jnp.zeros_like(b_s),
-                jnp.zeros_like(w_f), jnp.zeros_like(b_f))
+                jnp.zeros_like(w_dkv), jnp.zeros(w_dkv.shape[1], w_dkv.dtype),
+                jnp.zeros_like(w_s), jnp.zeros(w_s.shape[1], w_s.dtype),
+                jnp.zeros_like(w_f), jnp.zeros(w_f.shape[1], w_f.dtype))
 
     core.defvjp(fwd, bwd)
     return core
