@@ -118,6 +118,7 @@ class QMMMPotential:
         polarizable: bool = False,
         mm_backend: str = "ff19sb",
         amoeba_sor_iters: int = 8,
+        amoeba_induction: str = "ewald",   # ewald (meshed field) | sor
     ) -> "QMMMPotential":
         if atoms.cell is None:
             raise ValueError("solvated QM/MM needs a periodic cell (CRYST1)")
@@ -127,7 +128,8 @@ class QMMMPotential:
 
         if mm_backend == "amoeba":
             mm_full_ef, mm_prot_ef = cls._build_amoeba_backend(
-                atoms, top, top_prot, sel, cutoff, amoeba_sor_iters
+                atoms, top, top_prot, sel, cutoff, amoeba_sor_iters,
+                amoeba_induction,
             )
         elif mm_backend == "ff19sb":
             pol_full = pol_prot = None
@@ -174,7 +176,8 @@ class QMMMPotential:
         )
 
     @staticmethod
-    def _build_amoeba_backend(atoms, top, top_prot, sel, cutoff, sor_iters):
+    def _build_amoeba_backend(atoms, top, top_prot, sel, cutoff, sor_iters,
+                              induction: str = "ewald"):
         from ai2bmd_tpu import units
         from ai2bmd_tpu.physics.amoeba import WATER_R_OH, WATER_THETA_DEG
         from ai2bmd_tpu.physics.amoeba_protein import assign_amoeba
@@ -219,15 +222,27 @@ class QMMMPotential:
             th = jnp.arctan2(y, x)
             return e + jnp.sum(angle_k * (th - theta0) ** 2)
 
+        if induction == "ewald":
+            # full-Ewald (meshed) induction — cutoff/split-invariant
+            # (the real-space SCF swings ~20% with cutoff; see
+            # tests/test_amoeba_induction.py)
+            full_e = lambda p, nl: sys_full.energy_ewald_induction(p, nl)
+            prot_e = lambda p, nl: sys_prot.energy_ewald_induction(p, nl)
+        elif induction == "sor":
+            full_e = lambda p, nl: sys_full.energy(p, nl)
+            prot_e = lambda p, nl: sys_prot.energy(p, nl)
+        else:
+            raise ValueError(f"unknown amoeba_induction {induction!r}")
+
         def mm_full_ef(P, nl):
             e, g = jax.value_and_grad(
-                lambda p: sys_full.energy(p, nl) + water_bonded(p)
+                lambda p: full_e(p, nl) + water_bonded(p)
             )(P)
             return e, -g
 
         def mm_prot_ef(Pp, nlp):
             e, g = jax.value_and_grad(
-                lambda p: sys_prot.energy(p, nlp)
+                lambda p: prot_e(p, nlp)
             )(Pp)
             return e, -g
 

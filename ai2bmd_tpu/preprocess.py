@@ -233,6 +233,11 @@ class Preprocessor:
         # --- stage 3: NVT equilibration (Langevin)
         coeffs = L.LangevinCoeffs.build(masses, 1.0, self.target_temp, 0.002)
 
+        # dispatch in <=500-step chunks: one multi-thousand-step scan is a
+        # single device execution, which long-running transports (e.g. the
+        # tunneled-TPU proxy) can kill; chunking also gives progress logs
+        chunk_n = 500
+
         @jax.jit
         def nvt_chunk(state):
             def body(s, _):
@@ -241,14 +246,18 @@ class Preprocessor:
                 )
                 return s, None
 
-            return jax.lax.scan(body, state, None, length=self.nvt_steps)[0]
+            return jax.lax.scan(body, state, None, length=chunk_n)[0]
 
         log(f"NVT equilibration ({self.nvt_steps} steps)")
-        state = nvt_chunk(state)
-        log(
-            f"  T = {float(L.temperature(masses, state.velocities)):.1f} K, "
-            f"E = {float(state.energy):.2f} eV"
-        )
+        done = 0
+        while done < self.nvt_steps:
+            state = nvt_chunk(state)
+            done += chunk_n
+            log(
+                f"  [{min(done, self.nvt_steps)}/{self.nvt_steps}] "
+                f"T = {float(L.temperature(masses, state.velocities)):.1f} K, "
+                f"E = {float(state.energy):.2f} eV"
+            )
 
         # --- stage 4 (optional): Berendsen-barostat NPT with dynamic-cell
         # PME (the reference's final sander NPT stage, preprocess.py:435-479)
@@ -292,16 +301,20 @@ class Preprocessor:
                     return (s, cell * lam), pres_bar
 
                 (state, cell), pres = jax.lax.scan(
-                    body, (state, cell), None, length=self.npt_steps
+                    body, (state, cell), None, length=min(chunk_n, self.npt_steps)
                 )
                 return state, cell, pres
 
             log(f"NPT equilibration ({self.npt_steps} steps)")
-            state, cell, pres = npt_chunk(state, cell)
-            log(
-                f"  cell = {np.round(np.asarray(cell), 2)}, "
-                f"P = {float(np.asarray(pres)[-20:].mean()):.1f} bar"
-            )
+            done = 0
+            while done < self.npt_steps:
+                state, cell, pres = npt_chunk(state, cell)
+                done += chunk_n
+                log(
+                    f"  [{min(done, self.npt_steps)}/{self.npt_steps}] "
+                    f"cell = {np.round(np.asarray(cell), 2)}, "
+                    f"P = {float(np.asarray(pres)[-20:].mean()):.1f} bar"
+                )
             box.cell = np.asarray(cell, np.float64)
 
         # --- outputs ---
