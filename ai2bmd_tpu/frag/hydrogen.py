@@ -158,59 +158,55 @@ def optimize_caps(
         g = jax.grad(lambda p_: amber_energy(ht, p_))(p).reshape(-1)
         return g * free
 
-    n = pos.size
-    M = n_iter
-
-    def two_loop(g, s_h, y_h, rho, valid, gamma):
+    # statically unrolled (n_iter is small and fixed): the gradient after
+    # the FINAL step is never used to move x, so it is not computed —
+    # n_iter=1 (the warm-start production default) costs a single
+    # energy+grad evaluation instead of two.  Iterates are identical to
+    # the previous fori_loop version.
+    def two_loop(g, s_hist, y_hist, rho_hist, gamma):
         q = g
         alphas = []
-        for i in range(M - 1, -1, -1):
-            al = rho[i] * vdot(s_h[i], q) * valid[i]
-            q = q - al * y_h[i]
+        for s, y, rho in zip(reversed(s_hist), reversed(y_hist),
+                             reversed(rho_hist)):
+            al = rho * vdot(s, q)
+            q = q - al * y
             alphas.append(al)
         alphas = alphas[::-1]
         r = gamma * q
-        for i in range(M):
-            be = rho[i] * vdot(y_h[i], r) * valid[i]
-            r = r + s_h[i] * (alphas[i] - be)
+        for s, y, rho, al in zip(s_hist, y_hist, rho_hist, alphas):
+            be = rho * vdot(y, r)
+            r = r + s * (al - be)
         return -r
 
-    x0 = pos.reshape(-1)
-    g0 = egrad(x0)
-
-    def body(k, carry):
-        x, g, s_h, y_h, rho, valid, gamma = carry
-        d = jnp.where(
-            k == 0,
-            -g,
-            two_loop(g, s_h, y_h, rho, valid, gamma),
-        )
-        t = jnp.where(
-            k == 0,
-            jnp.minimum(1.0, 1.0 / jnp.maximum(gsum(jnp.sum(jnp.abs(g))), 1e-10)) * lr,
-            lr,
-        )
+    x = pos.reshape(-1)
+    g = egrad(x)
+    s_hist, y_hist, rho_hist = [], [], []
+    gamma = jnp.asarray(1.0, pos.dtype)
+    for k in range(n_iter):
+        if k == 0:
+            d = -g
+            t = jnp.minimum(
+                1.0, 1.0 / jnp.maximum(gsum(jnp.sum(jnp.abs(g))), 1e-10)
+            ) * lr
+        else:
+            d = two_loop(g, s_hist, y_hist, rho_hist, gamma)
+            t = lr
         x_new = x + t * d
+        if k == n_iter - 1:
+            x = x_new
+            break
         g_new = egrad(x_new)
         y = g_new - g
         s = t * d
         ys = vdot(y, s)
         ok = ys > 1e-10
-        s_h = jnp.where(ok, s_h.at[k].set(s), s_h)
-        y_h = jnp.where(ok, y_h.at[k].set(y), y_h)
-        rho = jnp.where(ok, rho.at[k].set(1.0 / jnp.where(ok, ys, 1.0)), rho)
-        valid = jnp.where(ok, valid.at[k].set(1.0), valid)
-        gamma = jnp.where(ok, ys / jnp.maximum(vdot(y, y), 1e-10), gamma)
-        return x_new, g_new, s_h, y_h, rho, valid, gamma
-
-    carry = (
-        x0,
-        g0,
-        jnp.zeros((M, n), pos.dtype),
-        jnp.zeros((M, n), pos.dtype),
-        jnp.zeros((M,), pos.dtype),
-        jnp.zeros((M,), pos.dtype),
-        jnp.asarray(1.0, pos.dtype),
-    )
-    carry = jax.lax.fori_loop(0, n_iter, body, carry)
-    return carry[0].reshape(shape)
+        okf = ok.astype(pos.dtype)
+        # curvature-gated history (masked updates keep shapes static)
+        s_hist.append(s * okf)
+        y_hist.append(y * okf)
+        rho_hist.append(jnp.where(ok, 1.0 / jnp.where(ok, ys, 1.0), 0.0))
+        gamma = jnp.where(
+            ok, ys / jnp.maximum(vdot(y, y), 1e-10), gamma
+        )
+        x, g = x_new, g_new
+    return x.reshape(shape)
