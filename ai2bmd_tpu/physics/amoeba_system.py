@@ -448,13 +448,15 @@ class AmoebaPeriodicSystem:
         F, alpha = self._induction_functional(P, nl)
         gradF = jax.grad(F)
         m0 = jnp.zeros((self.n_atoms, 3), P.dtype)
-        g0 = gradF(m0)                        # = -E_d (the permanent field)
+        # F is quadratic: linearize gradF ONCE — g0 = -E_d (the permanent
+        # field) and hvp is the constant Hessian-vector product, evaluated
+        # without re-running the primal each CG iteration
+        g0, hvp = jax.linearize(gradF, m0)
 
-        def hvp(v):
-            # F is quadratic: Hessian-vector product via jvp of gradF
-            return jax.jvp(gradF, (m0,), (v,))[1]
-
+        @jax.checkpoint
         def body(carry, _):
+            # rematerialized: storing every iteration's hvp residuals for
+            # the backward pass OOMs the 17.9k-atom box by ~400 MB
             m, r_, p_ = carry
             Ap = hvp(p_)
             denom = jnp.sum(p_ * Ap)
