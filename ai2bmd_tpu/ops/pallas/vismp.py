@@ -56,10 +56,18 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 _MODE = _os.environ.get("AI2BMD_KERNEL_MM_PRECISION", "b3")
-_PREC = {
-    "b3": None, "": None, "highest": jax.lax.Precision.HIGHEST,
+_PREC_MODES = {
+    "b3": None, "": None, "high": None,  # "high" aliases the b3 production mode
+    "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
-}[_MODE]
+}
+if _MODE not in _PREC_MODES:
+    raise ValueError(
+        f"AI2BMD_KERNEL_MM_PRECISION={_MODE!r} is not a known mode; "
+        f"valid values: b3 (production, default), highest (full f32), "
+        f"default (single-pass bf16 throughput), high (alias of b3)"
+    )
+_PREC = _PREC_MODES[_MODE]
 
 
 def _split_b16(x):

@@ -3,8 +3,10 @@
 Run once per mode (env var is read at import):
 
     python benchmarks/kernel_precision.py --save /tmp/f_ref.npy
-    AI2BMD_KERNEL_MM_PRECISION=high python benchmarks/kernel_precision.py \
+    AI2BMD_KERNEL_MM_PRECISION=default python benchmarks/kernel_precision.py \
         --compare /tmp/f_ref.npy
+
+Valid modes: b3 (production default), highest, default (single-pass bf16).
 
 Times ViSNet E+F on the chig dipeptide batch (the production hot loop) and
 reports max |dF| vs the reference forces when --compare is given.
