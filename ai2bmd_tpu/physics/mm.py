@@ -327,9 +327,6 @@ def nonbonded_nl_energy(
     """
     if cell is None:
         cell = mm.cell
-        influence, e_neutral = mm.influence, mm.e_neutral
-    else:
-        influence, e_neutral = dynamic_influence(mm, cell)
     Pj = jnp.concatenate([P, jnp.zeros((1, 3), P.dtype)])[nl.idx]   # [N,K,3]
     vec = _pbc_diff(Pj - P[:, None, :], cell)
     d2 = jnp.sum(vec * vec, axis=-1)
@@ -350,21 +347,10 @@ def nonbonded_nl_energy(
     c6 = (sig * sig / d2) ** 3
     e_lj = 0.5 * jnp.sum(jnp.where(valid, 4.0 * eps * (c6 * c6 - c6), 0.0))
 
-    # reciprocal space
-    rho = _spread(mm, P, cell)
-    e_rec = jnp.sum(influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
-
-    # exclusion corrections: remove full Coulomb (erfc part was in dir,
-    # erf part came via rec) and full LJ for 1-2/1-3; re-add scaled 1-4
-    e = e_coul_dir + e_lj + e_rec + mm.e_self + e_neutral
-    if mm.excl_pairs.shape[0]:
-        coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs, cell)
-        e = e - jnp.sum(coul) - jnp.sum(lj)
-    if mm.pairs14.shape[0]:
-        coul, lj, _ = _pair_terms(mm, P, mm.pairs14, cell)
-        e = e - jnp.sum(coul) * (1.0 - 1.0 / mm.scee)
-        e = e - jnp.sum(lj) * (1.0 - 1.0 / mm.scnb)
-    return e
+    # reciprocal space + exclusion corrections (shared with the dense path)
+    return e_coul_dir + e_lj + _recip_excl_energy(
+        mm, P, None if cell is mm.cell else cell
+    )
 
 
 def _spread(mm: MMSystem, P, cell=None):
@@ -388,6 +374,132 @@ def _spread(mm: MMSystem, P, cell=None):
     contrib = (mm.charge[:, None, None, None] * W).reshape(-1)
     rho = jax.ops.segment_sum(contrib, lin.reshape(-1), num_segments=Kx * Ky * Kz)
     return rho.reshape(Kx, Ky, Kz)
+
+
+def dense_pair_energy_forces(mm: MMSystem, P: jnp.ndarray, cell=None,
+                             tile: int = 2048):
+    """Direct-space erfc-Coulomb + LJ over ALL pairs, tiled dense — the
+    production solvated path (<=~32k atoms).
+
+    No neighbor list at all: the [N,K] gather machinery, the O(N^2) top_k
+    rebuild (measured 530 ms at 17.9k atoms on v5e) and the scatter in
+    autodiff's gather-backward are all gone.  Each [tile, N] block is a
+    dense masked pair slab; forces use the analytic pair derivative with
+    the symmetric full pair matrix, so every atom sums its own row —
+    F_i = sum_j C_ij vec_ij with C = phi'(r)/r — and no scatter is
+    needed.  (A per-axis flat-[T,N] variant with MXU row sums measured
+    14x SLOWER than this [T,N,3] einsum form on v5e — XLA fuses the slab
+    chain better; keep this formulation.)  Replaces the reference's
+    Tinker9-side pair loop (src/Calculators/tinker_async.py:155-181).
+
+    Returns (E, F) with E = half-sum over the full pair matrix.
+    """
+    cell = mm.cell if cell is None else cell
+    n = P.shape[0]
+    tile = min(tile, n)
+    npad = ((n + tile - 1) // tile) * tile
+    Ppad = jnp.pad(P, ((0, npad - n), (0, 0)), constant_values=1e6)
+    qpad = jnp.pad(mm.charge, (0, npad - n))
+    spad = jnp.pad(mm.sigma, (0, npad - n))
+    epad = jnp.pad(mm.eps, (0, npad - n))
+    beta = mm.beta
+    two_beta_rpi = 2.0 * beta / np.sqrt(np.pi)
+
+    def one_tile(start):
+        Pi = jax.lax.dynamic_slice(Ppad, (start, 0), (tile, 3))
+        qi = jax.lax.dynamic_slice(qpad, (start,), (tile,))
+        si = jax.lax.dynamic_slice(spad, (start,), (tile,))
+        ei = jax.lax.dynamic_slice(epad, (start,), (tile,))
+        vec = _pbc_diff(P[None, :, :] - Pi[:, None, :], cell)   # [T,N,3]
+        d2 = jnp.sum(vec * vec, axis=-1)
+        row = start + jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        m = (d2 < mm.cutoff * mm.cutoff) & (col != row)
+        d2s = jnp.where(m, d2, 1.0)
+        inv2 = 1.0 / d2s
+        r = jnp.sqrt(d2s)
+        inv_r = r * inv2
+        qq = qi[:, None] * mm.charge[None, :]
+        erfc = jax.lax.erfc(beta * r)
+        e_c = units.COULOMB * qq * erfc * inv_r
+        sig = 0.5 * (si[:, None] + mm.sigma[None, :])
+        epsij = jnp.sqrt(ei[:, None] * mm.eps[None, :])
+        c6 = (sig * sig * inv2) ** 3
+        e_l = 4.0 * epsij * (c6 * c6 - c6)
+        e = jnp.sum(jnp.where(m, e_c + e_l, 0.0))
+        dphi = (
+            units.COULOMB * qq
+            * (-erfc * inv2 - two_beta_rpi * jnp.exp(-beta * beta * d2s) * inv_r)
+            + 4.0 * epsij * (6.0 * c6 - 12.0 * c6 * c6) * inv_r
+        )
+        C = jnp.where(m, dphi * inv_r, 0.0)       # [T,N] = phi'(r)/r
+        f = jnp.einsum("tn,tnc->tc", C, vec)      # F_i = sum_j C_ij vec_ij
+        w = jnp.sum(C * d2s * m)                  # sum phi'(r)*r  (virial)
+        return e, f, w
+
+    starts = jnp.arange(0, npad, tile)
+    es, fs, ws = jax.lax.map(one_tile, starts)
+    return 0.5 * jnp.sum(es), fs.reshape(npad, 3)[:n], 0.5 * jnp.sum(ws)
+
+
+def mm_energy_forces_dense(mm: MMSystem, P: jnp.ndarray, cell=None,
+                           tile: int = 2048):
+    """(E, F) with the dense direct-space path; no neighbor list needed.
+
+    bonded + PME reciprocal + exclusion corrections go through autodiff
+    (small pair lists / mesh); the O(N^2) direct space uses the analytic
+    tiled kernel above.
+    """
+    if mm.polarization is not None:
+        raise ValueError(
+            "dense path does not support the legacy polarization hybrid; "
+            "use mm_backend='amoeba' for polarizable MM"
+        )
+
+    def smooth(p):
+        return bonded_energy(mm, p, cell) + _recip_excl_energy(mm, p, cell)
+
+    e_s, g_s = jax.value_and_grad(smooth)(P)
+    e_p, f_p, _ = dense_pair_energy_forces(mm, P, cell, tile)
+    return e_s + e_p, f_p - g_s
+
+
+def mm_pressure_dense(mm: MMSystem, P, cell, kinetic_energy, tile: int = 2048):
+    """Instantaneous pressure on the dense path: the pair virial is the
+    analytic sum(phi'(r) r) from the tiled kernel; bonded + reciprocal go
+    through the strain derivative like mm_pressure."""
+
+    def scaled_smooth(s):
+        return bonded_energy(mm, P * s, cell * s) + _recip_excl_energy(
+            mm, P * s, cell * s
+        )
+
+    dU_smooth = jax.grad(scaled_smooth)(jnp.asarray(1.0, jnp.float32))
+    _, _, w_pair = dense_pair_energy_forces(mm, P, cell, tile)
+    V = cell[0] * cell[1] * cell[2]
+    return (2.0 * kinetic_energy - dU_smooth - w_pair) / (3.0 * V)
+
+
+def _recip_excl_energy(mm: MMSystem, P, cell=None):
+    """PME reciprocal + self/neutral + exclusion/1-4 corrections."""
+    if cell is None:
+        cell = mm.cell
+        influence, e_neutral = mm.influence, mm.e_neutral
+    else:
+        influence, e_neutral = dynamic_influence(mm, cell)
+    rho = _spread(mm, P, cell)
+    e = (
+        jnp.sum(influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
+        + mm.e_self + e_neutral
+    )
+    if mm.excl_pairs.shape[0]:
+        coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs, cell)
+        e = e - jnp.sum(coul) - jnp.sum(lj)
+    if mm.pairs14.shape[0]:
+        coul, lj, _ = _pair_terms(mm, P, mm.pairs14, cell)
+        e = e - jnp.sum(coul) * (1.0 - 1.0 / mm.scee)
+        e = e - jnp.sum(lj) * (1.0 - 1.0 / mm.scnb)
+    return e
 
 
 def mm_energy(mm: MMSystem, P: jnp.ndarray, nl: NeighborList, cell=None) -> jnp.ndarray:

@@ -102,6 +102,9 @@ class QMMMPotential:
     top: SystemTopology
     cutoff: float
     cell: Any
+    dense: bool = False          # dense tiled pair path: no neighbor lists
+    #                              in aux at all (ff19sb default; the nl
+    #                              closures then ignore their nl argument)
 
     @classmethod
     def build(
@@ -119,6 +122,7 @@ class QMMMPotential:
         mm_backend: str = "ff19sb",
         amoeba_sor_iters: int = 8,
         amoeba_induction: str = "ewald",   # ewald (meshed field) | sor
+        pair_backend: str = "auto",        # dense | nl | auto
     ) -> "QMMMPotential":
         if atoms.cell is None:
             raise ValueError("solvated QM/MM needs a periodic cell (CRYST1)")
@@ -126,10 +130,37 @@ class QMMMPotential:
         sel = top.protein_atoms
         top_prot = _subsystem_topology(top, sel)
 
+        # dense tiled pairs (physics/mm.py dense_pair_energy_forces) beat
+        # the [N,K] list + O(N^2) top_k rebuild by ~5x per step at 17.9k
+        # atoms on v5e and remove the rebuild entirely; the list path
+        # remains for very large systems (dense is O(N^2) per step) and
+        # for the polarizable backends that consume the list directly.
+        dense = pair_backend == "dense" or (
+            pair_backend == "auto"
+            and mm_backend == "ff19sb"
+            and not polarizable
+            and top.n_atoms <= 40_000
+        )
+
         if mm_backend == "amoeba":
+            dense = False
             mm_full_ef, mm_prot_ef = cls._build_amoeba_backend(
                 atoms, top, top_prot, sel, cutoff, amoeba_sor_iters,
                 amoeba_induction,
+            )
+        elif mm_backend == "ff19sb" and dense:
+            mm_full = MM.MMSystem.build(
+                top, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing,
+            )
+            mm_prot = MM.MMSystem.build(
+                top_prot, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing,
+            )
+            n_prot = len(sel)
+            mm_full_ef = lambda P, nl: MM.mm_energy_forces_dense(mm_full, P)
+            mm_prot_ef = lambda Pp, nlp: MM.mm_energy_forces_dense(
+                mm_prot, Pp, tile=min(2048, n_prot)
             )
         elif mm_backend == "ff19sb":
             pol_full = pol_prot = None
@@ -173,6 +204,7 @@ class QMMMPotential:
             n_atoms=top.n_atoms,
             k_neighbors=k_neighbors, skin=skin, top=top,
             cutoff=cutoff, cell=jnp.asarray(atoms.cell, jnp.float32),
+            dense=dense,
         )
 
     @staticmethod
@@ -248,31 +280,46 @@ class QMMMPotential:
 
         return mm_full_ef, mm_prot_ef
 
-    # -- aux = (full-system neighbor list, QM carry) -------------------------
+    # -- aux = (full-system neighbor list | (), QM carry) --------------------
     def init_aux(self, P: jnp.ndarray):
+        if self.dense:
+            return ((), self.qm_init_aux)
         nl = NL.build_neighbor_list(
             P, self.cutoff + self.skin, self.k_neighbors, self.cell
         )
+        # init_aux runs outside jit: surface an undersized K immediately
+        # rather than silently truncating interactions for the whole run
+        if bool(jax.device_get(nl.overflow)):
+            raise ValueError(
+                f"neighbor list overflow at build time: some atom has more "
+                f"than k_neighbors={self.k_neighbors} neighbors within "
+                f"cutoff+skin={self.cutoff + self.skin:.2f} A; raise "
+                f"k_neighbors in QMMMPotential.build"
+            )
         return (nl, self.qm_init_aux)
 
     def __call__(self, P: jnp.ndarray, aux):
         nl, qm_aux = aux
-        nl = jax.lax.cond(
-            NL.needs_rebuild(nl, P, self.skin, self.cell),
-            lambda: NL.build_neighbor_list(
-                P, self.cutoff + self.skin, self.k_neighbors, self.cell,
-            ),
-            lambda: nl,
-        )
+        if not self.dense:
+            nl = jax.lax.cond(
+                NL.needs_rebuild(nl, P, self.skin, self.cell),
+                lambda: NL.build_neighbor_list(
+                    P, self.cutoff + self.skin, self.k_neighbors, self.cell,
+                ),
+                lambda: nl,
+            )
 
         e2, f2 = self.mm_full_ef(P, nl)
 
         P_prot = P[self.sel]
         n_prot = self.sel.shape[0]
-        nl_prot = NL.build_neighbor_list(
-            P_prot, self.cutoff, min(self.k_neighbors, n_prot),
-            self.cell, tile=min(512, n_prot),
-        )
+        if self.dense:
+            nl_prot = ()
+        else:
+            nl_prot = NL.build_neighbor_list(
+                P_prot, self.cutoff, min(self.k_neighbors, n_prot),
+                self.cell, tile=min(512, n_prot),
+            )
         e1, f1 = self.mm_prot_ef(P_prot, nl_prot)
 
         eq, fq, qm_aux = self.qm_energy_forces(P_prot, qm_aux)

@@ -282,3 +282,23 @@ def test_cmap_energy_and_forces(rng):
         e_m = float(MM.cmap_energy(mm, jnp.asarray(pm, jnp.float32)))
         num = (e_p - e_m) / (2 * eps)
         assert abs(num - g[ai, c]) < 5e-3 + 0.05 * abs(num), (num, g[ai, c])
+
+
+def test_dense_pair_path_matches_nl_path(rng):
+    """mm_energy_forces_dense (the production solvated path: tiled dense
+    pairs with analytic forces) must match the neighbor-list path to float
+    tolerance — same cutoff, same PME bookkeeping."""
+    q, pos, cell = _grid_system(rng, n_side=4, spacing=3.3)
+    n = len(q)
+    top = _nb_only_topology(q, pos)
+    top.excl_pairs = np.array([[0, 1], [5, 9]], np.int32)
+    top.pairs14 = np.array([[2, 7]], np.int32)
+    mm = MM.MMSystem.build(top, cell, cutoff=5.5, beta=0.4, grid_spacing=0.5)
+    P = jnp.asarray(pos, jnp.float32)
+    nl = build_neighbor_list(P, 5.5, n, mm.cell)
+    e_nl, f_nl = MM.mm_energy_forces(mm, P, nl)
+    e_d, f_d = MM.mm_energy_forces_dense(mm, P, tile=16)
+    scale = max(1.0, abs(float(e_nl)))
+    assert abs(float(e_nl) - float(e_d)) < 1e-4 * scale
+    fmax = float(jnp.max(jnp.abs(f_nl)))
+    assert float(jnp.max(jnp.abs(f_nl - f_d))) < 1e-4 * max(1.0, fmax)
