@@ -48,8 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--preprocess-method", type=str, default="FF19SB",
                    choices=["FF19SB", "AMOEBA"],
-                   help="preprocessing pipeline (AMOEBA maps to FF19SB with "
-                        "a notice: the MM engine is fixed-charge)")
+                   help="preprocessing pipeline: FF19SB runs minimize/heat/"
+                        "NVT (reference sander protocol), AMOEBA runs a "
+                        "full-AMOEBA minimization (reference pdbxyz8+"
+                        "minimize9 protocol)")
     p.add_argument("--preprocess", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="solvate+equilibrate raw inputs (default: when the "
@@ -153,12 +155,10 @@ def main(argv=None) -> int:
     if needs_preprocess:
         from ai2bmd_tpu.preprocess import Preprocessor
 
-        if args.preprocess_method == "AMOEBA":
-            log.warning(
-                "AMOEBA preprocessing maps to the fixed-charge FF19SB-class "
-                "pipeline (the MM engine is fixed-charge)"
-            )
-        pre = Preprocessor(log_dir=log_dir, max_cyc=args.max_cyc, seed=args.seed)
+        pre = Preprocessor(
+            log_dir=log_dir, max_cyc=args.max_cyc, seed=args.seed,
+            method=args.preprocess_method,
+        )
         prot_file = pre.run(prot_file)
 
     from ai2bmd_tpu.md.simulation import SimulationConfig

@@ -28,12 +28,16 @@ Term structure:
              1-2/1-3/1-4/1-5 mpole-scaled pairs — with Ewald, a pair
              scaled by s needs total s*full, and real+mesh already give
              full, so the correction is exact and needs no erf pass
-  induction  Thole-damped permanent fields over the neighbor list,
-             corrected by subtracting intra-group pair fields
-             (direct-11-scale 0) for the SCF field and (1-p)-weighted
-             pair fields for the energy field; mutual SOR over the list
-             (u-scales are all 1).  Real-space only — deliberate v1
-             deviation from Tinker's PME-meshed induction field
+  induction  two solvers.  Default (production, wired as
+             amoeba_induction="ewald" in physics/qmmm.py): variational
+             CG over the FULL Ewald interaction (erfc real space +
+             SPME reciprocal + self), Thole damping folded in as
+             Bn_erfc - (1-lambda)*Bn_coulomb, group d-mask on the
+             permanent cross term, and the p-vs-d energy-field cross
+             correction added at the minimum — cutoff/beta-invariant
+             where real-space SOR swings 20-38%.  Legacy "sor": Thole-
+             damped real-space-only fields over the list with mutual
+             SOR sweeps (u-scales are all 1), kept for speed comparisons
   vdW        buffered 14-7 over the list with cutoff shift + scaled-pair
              corrections
 
@@ -148,7 +152,15 @@ class AmoebaPeriodicSystem:
             grp_pairs=jnp.asarray(asg.group_pairs),
         )
 
-    def neighbor_list(self, P, k_max: int = 192) -> NeighborList:
+    def neighbor_list(self, P, k_max: int | None = None) -> NeighborList:
+        """Build the [N,K] list.  Default K is derived from the cutoff at
+        ~1.3x liquid-water atom density (0.10 atoms/A^3): at the default
+        9 A cutoff liquid water has ~310 in-cutoff neighbors, so a fixed
+        small K would silently overflow.  Callers running inside jit
+        should surface nl.overflow host-side after the first build (the
+        QM/MM production path does)."""
+        if k_max is None:
+            k_max = int(np.ceil(0.13 * 4.19 * self.cutoff**3 / 64.0)) * 64
         return build_neighbor_list(P, self.cutoff, k_max, cell=self.cell)
 
     # ------------------------------------------------------------------
@@ -386,43 +398,67 @@ class AmoebaPeriodicSystem:
             )
             return jnp.sum(jnp.where(live_u, e_c + e_m, 0.0))
 
+        def _damped_cross(pairs):
+            """Closure m -> per-pair cross energy [P]: induced dipole m_i
+            with permanents (q,mu,theta)_j plus m_j with permanents at i,
+            Thole-damped plain-Coulomb kernel (connectivity pairs, always
+            well inside the box)."""
+            pi, pj = pairs[:, 0], pairs[:, 1]
+            gx = _minimum_image(pm[pj, _POS] - pm[pi, _POS], self.cell[0])
+            gy = _minimum_image(
+                pm[pj, _POS + 1] - pm[pi, _POS + 1], self.cell[1]
+            )
+            gz = _minimum_image(
+                pm[pj, _POS + 2] - pm[pi, _POS + 2], self.cell[2]
+            )
+            gr2 = gx * gx + gy * gy + gz * gz
+            gpd = pm[pi, _PD] * pm[pj, _PD]
+            ggm = jnp.minimum(pm[pi, _TH], pm[pj, _TH])
+            gl3, gl5, gl7 = _thole_lambdas(jnp.sqrt(gr2), gpd, ggm)
+            g_bn = [bc * ln for bc, ln in
+                    zip(MP.bn_chain_coulomb(gr2),
+                        (1.0, gl3, gl5, gl7, jnp.ones_like(gl3)))]
+            g_zero6 = tuple(jnp.zeros_like(gx) for _ in range(6))
+            gqi, gqj = pm[pi, _Q], pm[pj, _Q]
+            gmi3 = (pm[pi, _MU], pm[pi, _MU + 1], pm[pi, _MU + 2])
+            gmj3 = (pm[pj, _MU], pm[pj, _MU + 1], pm[pj, _MU + 2])
+            gti6 = tuple(pm[pi, _T + c] for c in range(6))
+            gtj6 = tuple(pm[pj, _T + c] for c in range(6))
+            gzq = jnp.zeros_like(gqi)
+
+            def cross(m):
+                mi = (m[pi, 0], m[pi, 1], m[pi, 2])
+                mj = (m[pj, 0], m[pj, 1], m[pj, 2])
+                return MP.multipole_pair_energy_soa(
+                    gx, gy, gz, gzq, gqj, mi, gmj3, g_zero6, gtj6, g_bn
+                ) + MP.multipole_pair_energy_soa(
+                    gx, gy, gz, gqi, gzq, gmi3, mj, gti6, g_zero6, g_bn
+                )
+
+            return cross
+
         # group d-mask: same-group permanents do not polarize — remove
         # their lambda-damped FULL cross interaction
-        gi, gj = self.grp_pairs[:, 0], self.grp_pairs[:, 1]
-        gx = _minimum_image(
-            pm[gj, _POS] - pm[gi, _POS], self.cell[0]
-        )
-        gy = _minimum_image(
-            pm[gj, _POS + 1] - pm[gi, _POS + 1], self.cell[1]
-        )
-        gz = _minimum_image(
-            pm[gj, _POS + 2] - pm[gi, _POS + 2], self.cell[2]
-        )
-        gr2 = gx * gx + gy * gy + gz * gz
-        gpd = pm[gi, _PD] * pm[gj, _PD]
-        ggm = jnp.minimum(pm[gi, _TH], pm[gj, _TH])
-        gl3, gl5, gl7 = _thole_lambdas(jnp.sqrt(gr2), gpd, ggm)
-        g_bn = [bc * ln for bc, ln in
-                zip(MP.bn_chain_coulomb(gr2),
-                    (1.0, gl3, gl5, gl7, jnp.ones_like(gl3)))]
-        g_zero6 = tuple(jnp.zeros_like(gx) for _ in range(6))
-        gqi = pm[gi, _Q]
-        gqj = pm[gj, _Q]
-        gmi3 = (pm[gi, _MU], pm[gi, _MU + 1], pm[gi, _MU + 2])
-        gmj3 = (pm[gj, _MU], pm[gj, _MU + 1], pm[gj, _MU + 2])
-        gti6 = tuple(pm[gi, _T + c] for c in range(6))
-        gtj6 = tuple(pm[gj, _T + c] for c in range(6))
-        gzq = jnp.zeros_like(gqi)
+        cross_grp = _damped_cross(self.grp_pairs)
+        cross_px = _damped_cross(self.px_pairs)
 
         def e_dmask(m):
-            mi = (m[gi, 0], m[gi, 1], m[gi, 2])
-            mj = (m[gj, 0], m[gj, 1], m[gj, 2])
-            e = MP.multipole_pair_energy_soa(
-                gx, gy, gz, gzq, gqj, mi, gmj3, g_zero6, gtj6, g_bn
-            ) + MP.multipole_pair_energy_soa(
-                gx, gy, gz, gqi, gzq, gmi3, mj, gti6, g_zero6, g_bn
+            return -jnp.sum(cross_grp(m))
+
+        def pcorr(m):
+            """p-vs-d energy-field correction (e^2/A): the SCF minimizes
+            against the d-masked field E_d, but AMOEBA's polarization
+            energy is -1/2 m.E_p with the p-scaled field.  E_p - E_d =
+            [group-pair fields] - [(1-p)-weighted connectivity-pair
+            fields], and -1/2 m.(pair field) = +1/2 (pair cross energy),
+            so E_pol = F(m) + 1/2 U_grp(m) - 1/2 (1-p) U_px(m).  Exactly
+            zero for water (every intramolecular pair is group-internal
+            AND p=0); nonzero for protein 1-2/1-3 pairs that span
+            polarization groups.  Tinker reference: epolar1 p/d cross
+            terms."""
+            return 0.5 * jnp.sum(cross_grp(m)) - 0.5 * jnp.sum(
+                (1.0 - self.px_scale) * cross_px(m)
             )
-            return -jnp.sum(e)
 
         def e_recip_self(m):
             mu_tot = mu_perm + m
@@ -440,12 +476,13 @@ class AmoebaPeriodicSystem:
                 + e_real(m) + e_dmask(m) + e_recip_self(m)
             )
 
-        return F, alpha
+        return F, alpha, pcorr
 
     def induced_dipoles_ewald(self, P, nl: NeighborList, cg_iters: int = 12):
         """Fixed-iteration CG minimization of the quadratic induction
-        functional; returns (mu_ind [N,3], F(mu_ind) in e^2/A)."""
-        F, alpha = self._induction_functional(P, nl)
+        functional; returns (mu_ind [N,3], E_pol(mu_ind) in e^2/A,
+        including the p-vs-d energy-field cross correction)."""
+        F, alpha, pcorr = self._induction_functional(P, nl)
         gradF = jax.grad(F)
         m0 = jnp.zeros((self.n_atoms, 3), P.dtype)
         # F is quadratic: linearize gradF ONCE — g0 = -E_d (the permanent
@@ -472,15 +509,17 @@ class AmoebaPeriodicSystem:
         (m, _, _), _ = jax.lax.scan(
             body, (m0, r0, r0), None, length=cg_iters
         )
-        return m, F(m)
+        return m, F(m) + pcorr(m)
 
     def polarization_energy_ewald(self, P, nl: NeighborList,
                                   cg_iters: int = 12):
-        """Variational polarization energy with the full-Ewald interaction
-        (at the minimum, F(m) = -1/2 m.E_d — the standard induction
-        energy; p-scale == d-scale differences are neglected here, exact
-        for water where all intramolecular pairs carry p = 0 and are
-        group-internal)."""
+        """Polarization energy with the full-Ewald interaction: the SCF
+        minimizes the d-masked functional (F(m*) = -1/2 m.E_d) and the
+        energy adds the p-vs-d cross correction so the result is AMOEBA's
+        -1/2 m.E_p (the correction is exactly zero for water, nonzero for
+        protein 1-2/1-3 pairs spanning polarization groups).  Gradients
+        flow through the unrolled CG, so forces pick up the dm/dP term of
+        the correction automatically."""
         _, fmin = self.induced_dipoles_ewald(P, nl, cg_iters)
         return units.COULOMB * fmin
 

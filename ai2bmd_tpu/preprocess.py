@@ -33,7 +33,6 @@ from ai2bmd_tpu.data.protein_topology import build_topology
 from ai2bmd_tpu.io.pdb import PDBAtoms, read_pdb, write_pdb
 from ai2bmd_tpu.io.reorder import normalize_atom_order
 from ai2bmd_tpu.md import langevin as L
-from ai2bmd_tpu.ops import neighbors as NL
 from ai2bmd_tpu.physics import mm as MM
 
 WATER_DENSITY = 0.0334  # molecules / A^3 at 997 kg/m^3
@@ -140,6 +139,7 @@ class Preprocessor:
     target_temp: float = 300.0
     cutoff: float = 9.0
     restraint_kcal: float = 10.0
+    method: str = "FF19SB"       # FF19SB (min/heat/NVT[/NPT]) | AMOEBA
 
     def run(self, prot_file: str, log=print) -> str:
         prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
@@ -155,6 +155,9 @@ class Preprocessor:
         n_prot = len(atoms)
         log(f"solvated: {len(box)} atoms, cell {np.round(box.cell, 2)}")
 
+        if self.method.upper() == "AMOEBA":
+            return self._run_amoeba(box, n_prot, preeq, nowat, log)
+
         top = build_topology(box)
         mm = MM.MMSystem.build(top, box.cell, cutoff=self.cutoff)
         P = jnp.asarray(box.positions, jnp.float32)
@@ -165,26 +168,18 @@ class Preprocessor:
         tether_ref = P
         k_tether = self.restraint_kcal * units.kcal_per_mol
 
-        skin = 1.5
-        k_nb = 384
-
-        def build_nl(P):
-            return NL.build_neighbor_list(P, self.cutoff + skin, k_nb, mm.cell)
-
+        # dense tiled pair path (physics/mm.py): no neighbor list, no
+        # rebuild cond, no K-overflow risk — the previous [N,384] list
+        # silently truncated (a 10.5 A sphere in water holds ~485 atoms)
         def potential(P, nl):
-            nl = jax.lax.cond(
-                NL.needs_rebuild(nl, P, skin, mm.cell),
-                lambda: build_nl(P),
-                lambda: nl,
-            )
-            e, g = jax.value_and_grad(lambda p: MM.mm_energy(mm, p, nl))(P)
+            e, f = MM.mm_energy_forces_dense(mm, P)
             # protein tether during preprocessing
             d = (P - tether_ref) * prot_mask
             e = e + 0.5 * k_tether * jnp.sum(d * d)
-            g = g + k_tether * d
-            return e, -g, nl
+            f = f - k_tether * d
+            return e, f, nl
 
-        nl = build_nl(P)
+        nl = ()
 
         # --- stage 1: restrained minimization (steepest descent, backtrack)
         log(f"minimizing (max {self.max_cyc} cycles)")
@@ -273,17 +268,8 @@ class Preprocessor:
                     s, cell = carry
 
                     def pot_cell(p, aux):
-                        nlx = jax.lax.cond(
-                            NL.needs_rebuild(aux, p, skin, cell),
-                            lambda: NL.build_neighbor_list(
-                                p, self.cutoff + skin, k_nb, cell
-                            ),
-                            lambda: aux,
-                        )
-                        e, g = jax.value_and_grad(
-                            lambda q: MM.mm_energy(mm, q, nlx, cell)
-                        )(p)
-                        return e, -g, nlx
+                        e, f = MM.mm_energy_forces_dense(mm, p, cell)
+                        return e, f, aux
 
                     s = L.langevin_step(
                         pot_cell,
@@ -291,7 +277,7 @@ class Preprocessor:
                         masses, s,
                     )
                     ekin = L.kinetic_energy(masses, s.velocities)
-                    pres = MM.mm_pressure(mm, s.positions, s.aux, cell, ekin)
+                    pres = MM.mm_pressure_dense(mm, s.positions, cell, ekin)
                     pres_bar = pres / bar_in_ev_a3
                     lam = (
                         1.0
@@ -319,6 +305,46 @@ class Preprocessor:
 
         # --- outputs ---
         final = np.asarray(state.positions)
+        return self._write_outputs(box, final, n_prot, preeq, nowat, log)
+
+    def _run_amoeba(self, box, n_prot, preeq, nowat, log) -> str:
+        """AMOEBA preprocessing: solvate + full-AMOEBA minimization.
+
+        The reference's AMOEBA path (src/AIMD/preprocess.py:184-244) is
+        tleap-solvate -> Tinker minimize9 with amoebabio18.prm (mutual
+        polarization, Ewald) to RMS gradient 0.1 kcal/mol/A -> write
+        -preeq.pdb / -preeq-nowat.pdb; it runs NO heat/NVT/NPT stages.
+        This is the in-framework equivalent on physics/amoeba_md.py."""
+        from ai2bmd_tpu.physics.amoeba_md import AmoebaMD
+
+        cutoff = min(self.cutoff, 0.5 * float(np.min(box.cell)) - 1.1)
+        log(
+            f"AMOEBA minimization (mutual polarization, Ewald induction, "
+            f"cutoff {cutoff:.1f} A, max {self.max_cyc} cycles)"
+        )
+        md = AmoebaMD.build(box, cutoff=cutoff, induction="ewald")
+        P = jnp.asarray(box.positions, jnp.float32)
+        rms_target = 0.1 * units.kcal_per_mol  # minimize9's 0.1 kcal/mol/A
+        ef = jax.jit(lambda p, a: md(p, a))
+        chunk = 50
+        done = 0
+        while done < self.max_cyc:
+            n = min(chunk, self.max_cyc - done)
+            P, energies = md.minimize(np.asarray(P), steps=n, chunk=n)
+            P = jnp.asarray(P, jnp.float32)
+            done += n
+            e, f, _ = ef(P, md.init_aux(P))
+            rms = float(jnp.sqrt(jnp.mean(jnp.sum(f * f, axis=-1))))
+            log(
+                f"  [{done}/{self.max_cyc}] E = {float(e):.2f} eV, "
+                f"RMS |F| = {rms / units.kcal_per_mol:.3f} kcal/mol/A"
+            )
+            if rms < rms_target:
+                log("  converged to the reference RMS-gradient criterion")
+                break
+        return self._write_outputs(box, np.asarray(P), n_prot, preeq, nowat, log)
+
+    def _write_outputs(self, box, final, n_prot, preeq, nowat, log) -> str:
         write_pdb(preeq, box, positions=final)
         prot_only = PDBAtoms(
             positions=final[:n_prot],

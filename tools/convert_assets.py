@@ -290,6 +290,122 @@ def convert_amoeba(reference: str):
     )
 
 
+def convert_amoeba_valence(reference: str):
+    """amoebabio18.prm valence records -> amoeba_valence.npz.
+
+    Extracts the bonded-term tables the reference evaluates via Tinker9
+    (src/Calculators/tinker_async.py:127-145 runs full AMOEBA including
+    valence terms; src/utils/preprocess.py:184-244 minimizes with them):
+    bond / angle / anglep (in-plane) / strbnd / opbend / ureybrad /
+    torsion / pitors / strtors / angtors / tortors (25x25 CMAP-style
+    grids), each keyed by atom-class tuples, plus the global expansion
+    coefficients and unit conventions from the file header.  Values are
+    raw prm units (kcal/mol, A, degrees); physics/amoeba_valence.py
+    applies Tinker's default unit factors.
+    """
+    path = os.path.join(reference, "src", "utils", "amoebabio18.prm")
+    lines = open(path).read().splitlines()
+
+    bond, angle, anglep, strbnd, opbend, ureybrad = [], [], [], [], [], []
+    torsion, pitors, strtors, angtors = [], [], [], []
+    tortors_cls, tortors_dims, tortors_grid = [], [], []
+    scalars = {}
+    scalar_keys = {
+        "bond-cubic", "bond-quartic",
+        "angle-cubic", "angle-quartic", "angle-pentic", "angle-sextic",
+        "opbend-cubic", "opbend-quartic", "opbend-pentic", "opbend-sextic",
+        "torsionunit",
+    }
+
+    i = 0
+    while i < len(lines):
+        t = lines[i].split()
+        if not t:
+            i += 1
+            continue
+        key = t[0].lower()
+        if key in scalar_keys:
+            scalars[key.replace("-", "_")] = float(t[1])
+        elif key == "bond":
+            bond.append((int(t[1]), int(t[2]), float(t[3]), float(t[4])))
+        elif key in ("angle", "anglep"):
+            # up to three theta0 columns: variants selected by the number
+            # of extra hydrogens on the central atom (Tinker kangle)
+            th = [float(v) for v in t[5:8]]
+            th += [0.0] * (3 - len(th))
+            rec = (int(t[1]), int(t[2]), int(t[3]), float(t[4]), *th)
+            (angle if key == "angle" else anglep).append(rec)
+        elif key == "strbnd":
+            strbnd.append(
+                (int(t[1]), int(t[2]), int(t[3]), float(t[4]), float(t[5]))
+            )
+        elif key == "opbend":
+            opbend.append(
+                (int(t[1]), int(t[2]), int(t[3]), int(t[4]), float(t[5]))
+            )
+        elif key == "ureybrad":
+            ureybrad.append(
+                (int(t[1]), int(t[2]), int(t[3]), float(t[4]), float(t[5]))
+            )
+        elif key == "torsion":
+            cls = [int(v) for v in t[1:5]]
+            amp, phase, per = [0.0] * 3, [0.0] * 3, [0] * 3
+            vals = t[5:]
+            for j in range(len(vals) // 3):
+                amp[j] = float(vals[3 * j])
+                phase[j] = float(vals[3 * j + 1])
+                per[j] = int(vals[3 * j + 2])
+            torsion.append((*cls, *amp, *phase, *per))
+        elif key == "pitors":
+            pitors.append((int(t[1]), int(t[2]), float(t[3])))
+        elif key == "strtors":
+            strtors.append(
+                tuple(int(v) for v in t[1:5]) + tuple(float(v) for v in t[5:14])
+            )
+        elif key == "angtors":
+            angtors.append(
+                tuple(int(v) for v in t[1:5]) + tuple(float(v) for v in t[5:11])
+            )
+        elif key == "tortors":
+            cls = [int(v) for v in t[1:6]]
+            nx, ny = int(t[6]), int(t[7])
+            grid = np.zeros((nx, ny))
+            for j in range(nx * ny):
+                gx, gy, gv = (float(v) for v in lines[i + 1 + j].split())
+                # rows are listed x-fastest: (x index, y index)
+                grid[j % nx, j // nx] = gv
+            tortors_cls.append(cls)
+            tortors_dims.append((nx, ny))
+            tortors_grid.append(grid)
+            i += nx * ny
+        i += 1
+
+    np.savez_compressed(
+        os.path.join(ASSETS, "amoeba_valence.npz"),
+        bond=np.array(bond),
+        angle=np.array(angle),
+        anglep=np.array(anglep),
+        strbnd=np.array(strbnd),
+        opbend=np.array(opbend),
+        ureybrad=np.array(ureybrad),
+        torsion=np.array(torsion),
+        pitors=np.array(pitors),
+        strtors=np.array(strtors),
+        angtors=np.array(angtors),
+        tortors_cls=np.array(tortors_cls, np.int32),
+        tortors_dims=np.array(tortors_dims, np.int32),
+        tortors_grid=np.array(tortors_grid),
+        **{k: np.float64(v) for k, v in scalars.items()},
+    )
+    print(
+        f"amoeba_valence.npz: {len(bond)} bond, {len(angle)} angle, "
+        f"{len(anglep)} anglep, {len(strbnd)} strbnd, {len(opbend)} opbend, "
+        f"{len(torsion)} torsion, {len(pitors)} pitors, "
+        f"{len(ureybrad)} ureybrad, {len(strtors)} strtors, "
+        f"{len(angtors)} angtors, {len(tortors_cls)} tortors"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -301,6 +417,7 @@ def main():
     build_ff_table(args.reference)
     convert_reorder_table(args.reference)
     convert_amoeba(args.reference)
+    convert_amoeba_valence(args.reference)
 
 
 if __name__ == "__main__":
