@@ -6,10 +6,14 @@ One jitted SPMD program per MD step over a ("dp", "mp") mesh:
        block-sharded over dp; replicas never communicate.
   mp — fragment axis within a replica: dipeptide rows + ACE-NME units are
        block-sharded.  Per step each shard (1) places and L-BFGS-optimizes
-       its own rows' cap hydrogens, (2) all-gathers the optimized row
-       positions (a few 10s of KB, rides ICI) so ACE-NME units — which
+       its own rows' cap hydrogens (warm-started from the previous step,
+       like the single-chip production path), (2) all-gathers the optimized
+       row positions (a few 10s of KB, rides ICI) so ACE-NME units — which
        straddle two consecutive dipeptides — can be sliced locally,
-       (3) runs ViSNet on its row/ACE shards, (4) partial-stitches forces
+       (3) runs ViSNet on its row/ACE shards — one call per SIZE BUCKET
+       (24/32/40 slots), same as the single-chip path: rows are laid out
+       so every device's contiguous block holds an equal slice of every
+       bucket (see bucket_shard_order) — and (4) partial-stitches forces
        and psums them over mp.
 
 This replaces the reference's whole parallelism stack: fragment-sharding
@@ -40,17 +44,117 @@ from ai2bmd_tpu.physics.nonbonded import NonbondedParams, nonbonded_energy
 from ai2bmd_tpu.system import Protein
 
 
+def bucket_shard_order(
+    fi: FragmentIndex, n_mp: int, widths=(24, 32)
+) -> tuple[FragmentIndex, list[tuple[int, int, int]]]:
+    """Reorder + pad dipeptide rows for bucketed mp-sharding.
+
+    Returns (permuted fi, layout) where layout is a static list of
+    (bucket_width, local_offset, local_rows): after block-sharding the row
+    axis over n_mp devices, every device's contiguous row block contains
+    local_rows rows of each size bucket at the same local offsets, so the
+    per-device ViSNet calls are one per bucket with identical static
+    shapes on every device — the same size-bucketed batches the
+    single-chip path runs (frag/runtime.py dip_buckets), which a uniform
+    block-sharding cannot provide (bucket membership is interleaved along
+    the chain).  Buckets are padded to a multiple of n_mp with empty rows
+    (natom 0, masked everywhere).
+    """
+    S = fi.slots
+    ws = [w for w in widths if w < S] + [S]
+    natom = np.asarray(fi.row_natom)
+    R = fi.n_rows
+
+    bucket_rows: list[np.ndarray] = []
+    lo = -1  # empty rows (natom 0, merged-away CYX) land in bucket 0
+    for w in ws:
+        sel = np.where((natom > lo) & (natom <= w))[0]
+        lo = w
+        bucket_rows.append(sel)
+
+    pads = [(-len(sel)) % n_mp for sel in bucket_rows]
+    fi_ext = _append_empty_rows(fi, sum(pads))
+    next_new = R
+    padded: list[np.ndarray] = []
+    for sel, pad in zip(bucket_rows, pads):
+        extra = np.arange(next_new, next_new + pad)
+        next_new += pad
+        padded.append(np.concatenate([sel, extra]).astype(np.int64))
+
+    r_loc = [len(p) // n_mp for p in padded]
+    perm = np.concatenate(
+        [
+            padded[b][d * r_loc[b] : (d + 1) * r_loc[b]]
+            for d in range(n_mp)
+            for b in range(len(ws))
+        ]
+    )
+    inv = np.empty(fi_ext.n_rows, np.int64)
+    inv[perm] = np.arange(len(perm))
+
+    layout = []
+    off = 0
+    for w, r in zip(ws, r_loc):
+        if r:
+            layout.append((int(w), int(off), int(r)))
+        off += r
+
+    fi_p = dataclasses.replace(
+        fi_ext,
+        row_type=[fi_ext.row_type[i] for i in perm],
+        row_prmtop=[fi_ext.row_prmtop[i] for i in perm],
+        row_natom=fi_ext.row_natom[perm],
+        row_z=fi_ext.row_z[perm],
+        valid=fi_ext.valid[perm],
+        is_cap=fi_ext.is_cap[perm],
+        gather_idx=fi_ext.gather_idx[perm],
+        cap_dir_idx=fi_ext.cap_dir_idx[perm],
+        cap_radius=fi_ext.cap_radius[perm],
+        dip_row=inv[fi_ext.dip_row].astype(fi_ext.dip_row.dtype),
+        ace_rows=inv[fi_ext.ace_rows].astype(fi_ext.ace_rows.dtype),
+    )
+    return fi_p, layout
+
+
+def _append_empty_rows(fi: FragmentIndex, n: int) -> FragmentIndex:
+    if n == 0:
+        return fi
+    R = fi.n_rows
+
+    def pad2(a, fill=0):
+        widths = [(0, n)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, constant_values=fill)
+
+    return dataclasses.replace(
+        fi,
+        n_rows=R + n,
+        row_type=fi.row_type + [""] * n,
+        row_prmtop=fi.row_prmtop + [""] * n,
+        row_natom=pad2(fi.row_natom),
+        row_z=pad2(fi.row_z),
+        valid=pad2(fi.valid),
+        is_cap=pad2(fi.is_cap),
+        gather_idx=pad2(fi.gather_idx),
+        cap_dir_idx=pad2(fi.cap_dir_idx),
+        cap_radius=pad2(fi.cap_radius),
+    )
+
+
 @dataclasses.dataclass
 class ShardedPotential:
     """The fragment D&C potential of one protein, block-sharded along the
-    fragment-row axis of a mesh's "mp" axis.
+    fragment-row axis of a mesh's "mp" axis, with the single-chip
+    optimizations (size-bucketed ViSNet batches, warm-started cap
+    optimization, 16-slot ACE-NME batch) applied per shard.
 
-    `local_fn(Prep, row, ace)` is the per-device function (must run under
-    the mesh, e.g. inside a shard_map body); `row_sh`/`ace_sh` are the
-    device_put fragment shards.  `energy_forces(P)` evaluates one replica's
-    (E, F) on the mesh directly — it is numerically identical to the
-    single-device `FragmentPotential.energy_forces` path and exists so
-    tests can assert that equivalence (VERDICT round 1, item 5).
+    `local_fn(Prep, row, ace, cap_delta, warm_iters)` is the per-device
+    function (must run under the mesh, e.g. inside a shard_map body) and
+    returns psum'd (E, F, new_cap_delta); `row_sh`/`ace_sh` are the
+    device_put fragment shards.  `energy_forces(P)` evaluates one
+    replica's (E, F) on the mesh directly from a cold cap start — it is
+    numerically identical to the single-device
+    `FragmentPotential.energy_forces` path and exists so tests can assert
+    that equivalence (VERDICT round 1, item 5).
     """
 
     mesh: Mesh
@@ -59,6 +163,9 @@ class ShardedPotential:
     ace_sh: dict
     row_spec: dict
     ace_spec: dict
+    rt: FragmentRuntime
+    opt_iters: int
+    delta_spec: Any
 
     @classmethod
     def build(
@@ -72,6 +179,9 @@ class ShardedPotential:
     ) -> "ShardedPotential":
         cfg = V.resolve_config(cfg)
         n_mp = mesh.shape["mp"]
+        fi, layout = bucket_shard_order(fi, n_mp)
+        # row axis is already a multiple of n_mp; row_multiple only pads
+        # the ACE-NME axis so it block-shards evenly
         rt = FragmentRuntime.build(fi, opt_iters=opt_iters, row_multiple=n_mp)
         nb = NonbondedParams.build(prot, fi.exclusion_mask())
         n_atoms = len(prot)
@@ -93,47 +203,83 @@ class ShardedPotential:
         ace_sh = dict(
             ace_rows=rt.ace_rows,
             ace_slots=rt.ace_slots,
-            ace_z=rt.ace_z,
+            ace_z16=rt.ace_z16,
+            ace_mask16=rt.ace_mask16,
+            ace_dst16=rt.ace_dst16,
+            ace_park=rt.ace_park,
             ace_valid=rt.ace_valid,
-            ace_dst=rt.ace_dst,
         )
         ht_tables = rt.ht.tables
         scee, scnb = rt.ht.scee, rt.ht.scnb
 
-        def local_potential(Prep, row, ace):
+        def local_potential(Prep, row, ace, cap_delta, warm_iters):
             """Per-replica potential evaluated on this device's shards.
-            Must be called under the mesh axes; returns psum'd (E, F)."""
+            Must be called under the mesh axes; returns psum'd
+            (E, F, new_cap_delta)."""
             base = Prep[row["gather_idx"]]
             unit = H._safe_unit(Prep[row["cap_dir_idx"]] - base)
-            pos = jnp.where(row["is_cap"][..., None], base + unit * row["cap_radius"], base)
-            pos = jnp.where(row["valid"][..., None], pos, row["pad_pos"])
+            pos_geo = jnp.where(
+                row["is_cap"][..., None], base + unit * row["cap_radius"], base
+            )
+            pos_geo = jnp.where(row["valid"][..., None], pos_geo, row["pad_pos"])
+            free = row["is_cap"][..., None]
+            pos0 = pos_geo + jnp.where(free, cap_delta, 0.0)
 
             ht_local = H.HydrogenTables(
                 tables=ht_tables, type_id=row["type_id"], free=row["free"],
                 scee=scee, scnb=scnb,
             )
             pos = jax.lax.stop_gradient(
-                H.optimize_caps(ht_local, pos, n_iter=opt_iters, axis_name="mp")
+                H.optimize_caps(ht_local, pos0, n_iter=warm_iters, axis_name="mp")
             )
+            new_delta = jnp.where(free, pos - pos_geo, 0.0)
 
             pos_all = jax.lax.all_gather(pos, "mp", axis=0, tiled=True)
 
-            e_d, f_d = V.energy_and_forces(params, row["row_z"], pos, row["valid"], cfg)
-            ace_pos = pos_all[ace["ace_rows"], ace["ace_slots"]]
-            ace_mask = jnp.broadcast_to(ace["ace_valid"][:, None], ace["ace_z"].shape)
-            e_a, f_a = V.energy_and_forces(params, ace["ace_z"], ace_pos, ace_mask, cfg)
+            # one ViSNet call per size bucket on this device's row block
+            e_local = jnp.zeros((), pos.dtype)
+            srcs, dsts = [], []
+            for w, off, r in layout:
+                e_b, f_b = V.energy_and_forces(
+                    params,
+                    row["row_z"][off : off + r, :w],
+                    pos[off : off + r, :w],
+                    row["valid"][off : off + r, :w],
+                    cfg,
+                )
+                e_local = e_local + jnp.sum(
+                    e_b * row["row_has_atoms"][off : off + r]
+                )
+                srcs.append(f_b.reshape(-1, 3))
+                dsts.append(row["dip_dst"][off : off + r, :w].reshape(-1))
 
-            e_local = jnp.sum(e_d * row["row_has_atoms"]) - jnp.sum(e_a * ace["ace_valid"])
-            flat_src = jnp.concatenate([f_d.reshape(-1, 3), -f_a.reshape(-1, 3)])
-            flat_dst = jnp.concatenate([row["dip_dst"].reshape(-1), ace["ace_dst"].reshape(-1)])
-            f_partial = jax.ops.segment_sum(flat_src, flat_dst, num_segments=n_atoms + 1)[:n_atoms]
+            # ACE-NME batch at width 16 with parked padding slots
+            ace_pos = jnp.where(
+                ace["ace_mask16"][..., None],
+                jnp.pad(
+                    pos_all[ace["ace_rows"], ace["ace_slots"]],
+                    ((0, 0), (0, 4), (0, 0)),
+                ),
+                ace["ace_park"],
+            )
+            e_a, f_a = V.energy_and_forces(
+                params, ace["ace_z16"], ace_pos, ace["ace_mask16"], cfg
+            )
+            e_local = e_local - jnp.sum(e_a * ace["ace_valid"])
+            srcs.append(-f_a.reshape(-1, 3))
+            dsts.append(ace["ace_dst16"].reshape(-1))
+
+            f_partial = jax.ops.segment_sum(
+                jnp.concatenate(srcs), jnp.concatenate(dsts),
+                num_segments=n_atoms + 1,
+            )[:n_atoms]
 
             e_b = jax.lax.psum(e_local, "mp")
             f_b = jax.lax.psum(f_partial, "mp")
 
             # long-range terms: cheap for protein sizes, evaluated replicated
             e_nb, g_nb = jax.value_and_grad(lambda p: nonbonded_energy(nb, p))(Prep)
-            return e_b + e_nb, f_b - g_nb
+            return e_b + e_nb, f_b - g_nb, new_delta
 
         row_spec = {k: P("mp", *(None,) * (np.ndim(v) - 1)) for k, v in row_sh.items()}
         ace_spec = {k: P("mp", *(None,) * (np.ndim(v) - 1)) for k, v in ace_sh.items()}
@@ -147,19 +293,47 @@ class ShardedPotential:
             mesh=mesh, local_fn=local_potential,
             row_sh=row_sh, ace_sh=ace_sh,
             row_spec=row_spec, ace_spec=ace_spec,
+            rt=rt, opt_iters=opt_iters,
+            delta_spec=P("mp", None, None),
         )
 
     def energy_forces(self, Pos):
         """One replica's (E, F) evaluated on the sharded mesh; Pos [N,3]
-        replicated.  Numerically equal to the single-device path."""
+        replicated.  Cold cap start (opt_iters full iterations) —
+        numerically equal to the single-device cold path."""
+        R, S = self.rt.static.n_rows, self.rt.static.slots
+
+        def fn(Pos, row, ace, delta):
+            e, f, _ = self.local_fn(Pos, row, ace, delta, self.opt_iters)
+            return e, f
+
         sharded = jax.shard_map(
-            self.local_fn,
+            fn,
             mesh=self.mesh,
-            in_specs=(P(), self.row_spec, self.ace_spec),
+            in_specs=(P(), self.row_spec, self.ace_spec, self.delta_spec),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded)(Pos, self.row_sh, self.ace_sh)
+        zero = jnp.zeros((R, S, 3), jnp.float32)
+        return jax.jit(sharded)(Pos, self.row_sh, self.ace_sh, zero)
+
+    def initial_cap_delta(self, Pos):
+        """Cold-start cap offsets (replicated input, sharded output)."""
+
+        def fn(Pos, row, ace, delta):
+            _, _, nd = self.local_fn(Pos, row, ace, delta, self.opt_iters)
+            return nd
+
+        sharded = jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(), self.row_spec, self.ace_spec, self.delta_spec),
+            out_specs=self.delta_spec,
+            check_vma=False,
+        )
+        R, S = self.rt.static.n_rows, self.rt.static.slots
+        zero = jnp.zeros((R, S, 3), jnp.float32)
+        return jax.jit(sharded)(Pos, self.row_sh, self.ace_sh, zero)
 
 
 @dataclasses.dataclass
@@ -249,6 +423,7 @@ class ReplicaEnsemble:
                   masses=masses)
         obj._rt, obj._cfg, obj._params = rt, cfg, params
         obj._warm_iters = warm_iters
+        obj._batched_potential = batched_potential
         return obj
 
     def initial_state(self, positions: np.ndarray, temp_K: float = 300.0,
@@ -267,11 +442,16 @@ class ReplicaEnsemble:
         deltas = jax.jit(
             lambda P: initial_cap_delta_batched(self._rt, P, opt_iters)
         )(pos)
+        # real first forces: seeding zeros would give every replica a
+        # zero-force first Langevin half-kick (one-step transient)
+        energy0, forces0, deltas = jax.jit(self._batched_potential)(
+            pos, deltas
+        )
         state = L.MDState(
             positions=pos,
             velocities=vel,
-            forces=jnp.zeros_like(pos),
-            energy=jnp.zeros((n,), jnp.float32),
+            forces=forces0,
+            energy=energy0,
             key=run_keys,
             step=jnp.zeros((n,), jnp.int32),
             aux=deltas,
@@ -300,13 +480,15 @@ class ReplicaEnsemble:
 @dataclasses.dataclass
 class EnsembleSimulation:
     """n_replicas independent Langevin trajectories of one protein,
-    force-evaluated with mp-sharded fragments."""
+    force-evaluated with mp-sharded fragments (bucketed ViSNet batches +
+    warm-started caps, like the single-chip production path)."""
 
     mesh: Mesh
     n_replicas: int
     step_fn: Any          # jitted: state-pytree -> state-pytree
     masses: Any
     _sharded_args: Any
+    _sp: ShardedPotential = None
 
     @classmethod
     def build(
@@ -322,6 +504,7 @@ class EnsembleSimulation:
         friction_per_fs: float = 0.001,
         steps_per_call: int = 1,
         opt_iters: int = 10,
+        warm_iters: int = 1,
     ) -> "EnsembleSimulation":
         n_dp = mesh.shape["dp"]
         if n_replicas % n_dp:
@@ -334,12 +517,15 @@ class EnsembleSimulation:
         coeffs = L.LangevinCoeffs.build(masses, timestep_fs, temp_K, friction_per_fs)
 
         def device_fn(state, row, ace):
-            """Executes per device: local replica block x local fragment shard."""
+            """Executes per device: local replica block x local fragment
+            shard; state.aux carries the per-replica warm cap deltas."""
 
             def one_replica(s):
                 def body(s, _):
                     s = L.langevin_step(
-                        L.lift_potential(lambda Prep: local_potential(Prep, row, ace)),
+                        lambda Prep, delta: local_potential(
+                            Prep, row, ace, delta, warm_iters
+                        ),
                         coeffs, masses, s,
                     )
                     return s, None
@@ -356,7 +542,7 @@ class EnsembleSimulation:
             energy=P("dp"),
             key=P("dp", None),
             step=P("dp"),
-            aux=(),
+            aux=P("dp", "mp", None, None),
         )
         sharded = jax.shard_map(
             device_fn,
@@ -369,12 +555,13 @@ class EnsembleSimulation:
         step_fn = jax.jit(lambda st: sharded(st, row_sh, ace_sh))
         return cls(
             mesh=mesh, n_replicas=n_replicas, step_fn=step_fn,
-            masses=masses, _sharded_args=(row_sh, ace_sh),
+            masses=masses, _sharded_args=(row_sh, ace_sh), _sp=sp,
         )
 
     # ------------------------------------------------------------------
     def initial_state(self, positions: np.ndarray, temp_K: float = 300.0, seed: int = 0):
         n = self.n_replicas
+        sp = self._sp
         keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n)
         init_keys, run_keys = keys[:n], keys[n:]
         vel = jax.vmap(
@@ -383,18 +570,23 @@ class EnsembleSimulation:
         pos = jnp.broadcast_to(
             jnp.asarray(positions, jnp.float32), (n,) + positions.shape
         )
+        # cold-start cap deltas + real first forces (every replica starts
+        # from the same positions, so one evaluation serves all)
+        delta0 = sp.initial_cap_delta(pos[0])
+        e0, f0 = sp.energy_forces(pos[0])
         state = L.MDState(
             positions=pos,
             velocities=vel,
-            forces=jnp.zeros_like(pos),
-            energy=jnp.zeros((n,), jnp.float32),
+            forces=jnp.broadcast_to(f0, pos.shape),
+            energy=jnp.broadcast_to(e0, (n,)),
             key=run_keys,
             step=jnp.zeros((n,), jnp.int32),
+            aux=jnp.broadcast_to(delta0, (n,) + delta0.shape),
         )
         spec = L.MDState(
             positions=P("dp", None, None), velocities=P("dp", None, None),
             forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
-            step=P("dp"), aux=(),
+            step=P("dp"), aux=P("dp", "mp", None, None),
         )
         return jax.device_put(
             state,
