@@ -117,6 +117,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    # honor JAX_PLATFORMS strictly: the env var alone does not stop
+    # out-of-tree platform plugins (e.g. a tunneled-TPU plugin) from
+    # merging themselves back in at init — and a dead tunnel then hangs
+    # the process before the first dispatch.  The config update pins the
+    # platform list for real (same pattern as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     for flag in ("device_strategy", "work_strategy", "chunk_size"):
@@ -240,28 +247,32 @@ def _build_frames(log_dir: str, prot_name: str):
 def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
     """Replica-ensemble MD over a (dp, mp) mesh (BASELINE config 5).
 
-    Each replica is an independent Langevin trajectory (fragment mode,
-    vacuum); fragment rows shard over mp.  Final positions of every
-    replica are written as one npz."""
+    Each replica is an independent Langevin trajectory — fragment mode for
+    vacuum inputs, subtractive QM/MM for solvated boxes (reference
+    sampling artifact model: src/AIMD/simulator.py:119-137).  Every
+    replica records its own DCD trajectory and the full ensemble state is
+    checkpointed each recording interval (--restart resumes it)."""
     import jax
     import numpy as np
 
     from ai2bmd_tpu.frag.indexer import build_fragment_index
     from ai2bmd_tpu.io.pdb import read_pdb
     from ai2bmd_tpu.io.reorder import normalize_atom_order
-    from ai2bmd_tpu.models import visnet as V
-    from ai2bmd_tpu.parallel import EnsembleSimulation, ReplicaEnsemble, make_mesh
+    from ai2bmd_tpu.io.trajectory import DCDTrajectory
+    from ai2bmd_tpu.parallel import (
+        EnsembleSimulation,
+        ReplicaEnsemble,
+        SolvatedReplicaEnsemble,
+        make_mesh,
+    )
     from ai2bmd_tpu.simulators import load_model
     from ai2bmd_tpu.system import Protein
 
+    prot_name = os.path.basename(prot_file).rsplit(".", 1)[0]
     atoms = normalize_atom_order(read_pdb(prot_file))
     full = Protein.from_atoms(atoms)
     qm_idx = full.protein_indices()
-    if len(qm_idx) < len(full):
-        log.error("ensemble mode currently runs the vacuum fragment path; "
-                  "pass the nowat protein file")
-        return 2
-    fi = build_fragment_index(atoms)
+    solvated = len(qm_idx) < len(full)
     params, cfg = load_model(
         args.ckpt_path, model_cfg, seed=args.seed
     )
@@ -271,10 +282,23 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
     n_mp = args.mesh_mp if args.mesh_dp * args.mesh_mp == n_dev else n_dev // n_dp
     log.info("ensemble mesh: dp=%d mp=%d, %d replicas", n_dp, n_mp, args.replicas)
 
-    if n_mp == 1:
+    if solvated:
+        # solvated QM/MM replicas shard over dp only (one solvated step
+        # already fills a chip; mp fragment sharding buys nothing there)
+        mesh = make_mesh(n_dp, 1) if n_dp > 1 else None
+        ens = SolvatedReplicaEnsemble.build(
+            atoms, params, cfg,
+            n_replicas=args.replicas,
+            mesh=mesh,
+            timestep_fs=args.timestep,
+            temp_K=float(args.temp_k),
+            steps_per_call=args.record_per_steps,
+        )
+    elif n_mp == 1:
         # replica-batched engine: replicas fold into the fragment batch
         # (flat memory via replica chunking, best MXU fill); dp shards
         # replica blocks when more than one device is used
+        fi = build_fragment_index(atoms)
         mesh = make_mesh(n_dp, 1) if n_dp > 1 else None
         ens = ReplicaEnsemble.build(
             full, fi, params, cfg,
@@ -286,6 +310,7 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
             warm_iters=1,
         )
     else:
+        fi = build_fragment_index(atoms)
         mesh = make_mesh(n_dp, n_mp)
         ens = EnsembleSimulation.build(
             full, fi, params, cfg, mesh,
@@ -295,22 +320,90 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
             steps_per_call=args.record_per_steps,
             opt_iters=args.opt_iters,
         )
+
+    ckpt = f"{log_dir}/{prot_name}-{args.replicas}x-ensemble-restart.npz"
     state = ens.initial_state(full.positions, temp_K=float(args.temp_k),
                               seed=args.seed)
-    n_calls = max(1, args.sim_steps // args.record_per_steps)
-    for i in range(n_calls):
+    start_step = 0
+    suffix = ""
+    if args.restart and os.path.exists(ckpt):
+        state, start_step = _load_ensemble_restart(ckpt, state, log)
+        # continuation trajectories get a -restart suffix (same artifact
+        # model as the single-trajectory restart path)
+        suffix = "-restart"
+
+    trajs = [
+        DCDTrajectory(
+            f"{log_dir}/{prot_name}-r{i:03d}-traj{suffix}.dcd",
+            len(full),
+            timestep_fs=args.timestep,
+            save_interval=args.record_per_steps,
+            cell=full.cell,
+        )
+        for i in range(args.replicas)
+    ]
+    n_calls = max(1, (args.sim_steps - start_step) // args.record_per_steps)
+    for _ in range(n_calls):
         state = ens.run(state, 1)
+        pos = np.asarray(state.positions)
         e = np.asarray(state.energy)
+        for traj, p in zip(trajs, pos):
+            traj.write(p, cell=full.cell)
+        _save_ensemble_restart(ckpt, state)
         print(
             f"Step {int(np.asarray(state.step)[0])}: "
             f"Epot mean = {e.mean():.3f}eV (min {e.min():.3f}, max {e.max():.3f})",
             flush=True,
         )
+    for traj in trajs:
+        traj.close()
     out = f"{log_dir}/{args.replicas}x-ensemble-final.npz"
     np.savez(out, positions=np.asarray(state.positions),
              velocities=np.asarray(state.velocities))
-    print(f"wrote {out}")
+    print(f"wrote {out} + {len(trajs)} per-replica DCDs")
     return 0
+
+
+def _save_ensemble_restart(path: str, state):
+    """Checkpoint the full batched MDState (incl. per-replica PRNG keys
+    and potential carry) so an interrupted ensemble resumes
+    bit-continuously, like the single-trajectory restart."""
+    import numpy as np
+    import jax
+
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(
+        path + ".tmp.npz",
+        __n_leaves__=len(leaves),
+        **{f"leaf{i}": np.asarray(v) for i, v in enumerate(leaves)},
+    )
+    os.replace(path + ".tmp.npz", path)
+
+
+def _load_ensemble_restart(path: str, template_state, log):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        n = int(z["__n_leaves__"])
+        leaves = [z[f"leaf{i}"] for i in range(n)]
+    t_leaves, treedef = jax.tree.flatten(template_state)
+    if len(t_leaves) != n:
+        raise ValueError(
+            f"ensemble restart {path} has {n} state leaves, expected "
+            f"{len(t_leaves)} (different engine or replica count?)"
+        )
+    state = jax.tree.unflatten(
+        treedef,
+        [
+            jax.device_put(jnp.asarray(v, t.dtype), t.sharding)
+            for v, t in zip(leaves, t_leaves)
+        ],
+    )
+    start = int(np.asarray(state.step)[0])
+    log.info("resumed ensemble from %s at step %d", path, start)
+    return state, start
 
 
 if __name__ == "__main__":

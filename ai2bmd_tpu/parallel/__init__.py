@@ -7,4 +7,5 @@ from ai2bmd_tpu.parallel.sharding import (  # noqa: F401
     EnsembleSimulation,
     ReplicaEnsemble,
     ShardedPotential,
+    SolvatedReplicaEnsemble,
 )

@@ -600,3 +600,152 @@ class EnsembleSimulation:
         for _ in range(n_calls):
             state = self.step_fn(state)
         return state
+
+
+@dataclasses.dataclass
+class SolvatedReplicaEnsemble:
+    """n_replicas independent SOLVATED QM/MM Langevin trajectories with
+    the replica axis block-sharded over a "dp" mesh axis (VERDICT round 2,
+    item 7: the reference runs its sampling workloads on the solvated box,
+    reference src/AIMD/simulator.py:119-137).
+
+    One solvated step (17.9k-atom dense MM + fragment ViSNet) already
+    fills a chip, so replicas scale ACROSS devices: each device runs its
+    local replica block sequentially under lax.map (a vmap would multiply
+    the dense [tile, N] pair slabs by the local replica count and OOM).
+    Requires the dense QM/MM pair backend — its aux carries no neighbor
+    list, so every replica shares one static program with no per-replica
+    rebuild cond.
+    """
+
+    mesh: Mesh | None
+    n_replicas: int
+    step_fn: Any
+    masses: Any
+    cell: Any
+    numbers: Any
+    qm_idx: Any                 # protein atom indices (QM region)
+    _qmmm: Any = None
+    _coeffs: Any = None
+
+    @classmethod
+    def build(
+        cls,
+        atoms,                  # PDBAtoms of the solvated box
+        params: dict,
+        cfg: V.ViSNetConfig,
+        n_replicas: int,
+        mesh: Mesh | None = None,     # dp axis only; None = one device
+        timestep_fs: float = 1.0,
+        temp_K: float = 300.0,
+        friction_per_fs: float = 0.001,
+        steps_per_call: int = 1,
+        warm_iters: int = 1,
+        mm_backend: str = "ff19sb",
+    ) -> "SolvatedReplicaEnsemble":
+        from ai2bmd_tpu.physics.qmmm import QMMMPotential
+        from ai2bmd_tpu.potentials import FragmentPotential
+
+        cfg = V.resolve_config(cfg)
+        full = Protein.from_atoms(atoms)
+        qm_idx = full.protein_indices()
+        if len(qm_idx) == len(full):
+            raise ValueError(
+                "input box has no solvent; use ReplicaEnsemble for vacuum "
+                "fragment-mode ensembles"
+            )
+        prot = full.select(qm_idx)
+        pot = FragmentPotential.build(prot, params, cfg, longrange="mm")
+        qm_aux0 = pot.init_cap_delta(jnp.asarray(prot.positions, jnp.float32))
+        qmmm = QMMMPotential.build(
+            atoms,
+            qm_stateful=lambda Pq, qa: pot.stateful_energy_forces(
+                Pq, qa, warm_iters=warm_iters
+            ),
+            qm_init_aux=qm_aux0,
+            mm_backend=mm_backend,
+            pair_backend="dense",
+        )
+        masses = jnp.asarray(full.masses, jnp.float32)
+        coeffs = L.LangevinCoeffs.build(
+            masses, timestep_fs, temp_K, friction_per_fs
+        )
+
+        def device_fn(state):
+            def one_replica(s):
+                def body(s, _):
+                    return L.langevin_step(qmmm, coeffs, masses, s), None
+
+                return jax.lax.scan(body, s, None, length=steps_per_call)[0]
+
+            return jax.lax.map(one_replica, state)
+
+        if mesh is not None:
+            n_dp = mesh.shape["dp"]
+            if n_replicas % n_dp:
+                raise ValueError(
+                    f"{n_replicas} replicas do not shard over dp={n_dp}"
+                )
+            spec = cls._state_spec()
+            sharded = jax.shard_map(
+                device_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=False,
+            )
+            step_fn = jax.jit(sharded)
+        else:
+            step_fn = jax.jit(device_fn)
+
+        return cls(
+            mesh=mesh, n_replicas=n_replicas, step_fn=step_fn,
+            masses=masses, cell=full.cell, numbers=full.numbers,
+            qm_idx=qm_idx, _qmmm=qmmm, _coeffs=coeffs,
+        )
+
+    @staticmethod
+    def _state_spec():
+        # aux = ((), qm cap-delta array): spec mirrors the pytree
+        return L.MDState(
+            positions=P("dp", None, None), velocities=P("dp", None, None),
+            forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
+            step=P("dp"), aux=((), P("dp", None, None, None)),
+        )
+
+    def initial_state(self, positions: np.ndarray, temp_K: float = 300.0,
+                      seed: int = 0):
+        n = self.n_replicas
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n)
+        init_keys, run_keys = keys[:n], keys[n:]
+        vel = jax.vmap(
+            lambda k: L.maxwell_boltzmann_velocities(k, self.masses, temp_K)
+        )(init_keys)
+        pos = jnp.broadcast_to(
+            jnp.asarray(positions, jnp.float32), (n,) + positions.shape
+        )
+        aux1 = self._qmmm.init_aux(pos[0])
+        # real first forces (identical start => evaluate once, broadcast)
+        e0, f0, aux1 = jax.jit(lambda p, a: self._qmmm(p, a))(pos[0], aux1)
+        state = L.MDState(
+            positions=pos,
+            velocities=vel,
+            forces=jnp.broadcast_to(f0, (n,) + f0.shape),
+            energy=jnp.broadcast_to(e0, (n,)),
+            key=run_keys,
+            step=jnp.zeros((n,), jnp.int32),
+            aux=jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), aux1
+            ),
+        )
+        if self.mesh is None:
+            return state
+        return jax.device_put(
+            state,
+            jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), self._state_spec(),
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+
+    def run(self, state, n_calls: int):
+        for _ in range(n_calls):
+            state = self.step_fn(state)
+        return state

@@ -83,3 +83,60 @@ def test_cli_ensemble_mode(tmp_path):
     final = np.load(tmp_path / "4x-ensemble-final.npz")
     assert final["positions"].shape == (4, 175, 3)
     assert np.all(np.isfinite(final["positions"]))
+
+
+def test_cli_solvated_ensemble_dcds_and_restart(tmp_path):
+    """8-replica solvated ensemble writes 8 readable per-replica DCDs and
+    an ensemble restart that --restart resumes (VERDICT round 2, item 7)."""
+    import os as _os
+
+    import numpy as np
+
+    from ai2bmd_tpu.io.build import build_polyalanine
+    from ai2bmd_tpu.io.pdb import write_pdb
+    from ai2bmd_tpu.io.trajectory import read_dcd
+    from ai2bmd_tpu.preprocess import solvate
+
+    box = solvate(build_polyalanine(2), padding=4.0, seed=0)
+    pdb = str(tmp_path / "ala2box.pdb")
+    write_pdb(pdb, box)
+    env = {
+        **_os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+    base = [
+        sys.executable, "-m", "ai2bmd_tpu",
+        "--prot-file", pdb, "--log-dir", str(tmp_path),
+        "--record-per-steps", "2", "--replicas", "8",
+        "--mesh-dp", "8", "--mesh-mp", "1",
+        "--model-preset", "tiny", "--no-preprocess", "-v",
+    ]
+    proc = subprocess.run(
+        base + ["--sim-steps", "4"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for i in range(8):
+        frames = read_dcd(str(tmp_path / f"ala2box-r{i:03d}-traj.dcd"))
+        assert frames.shape == (2, len(box), 3)
+        assert np.all(np.isfinite(frames))
+    # replicas diverged
+    f0 = read_dcd(str(tmp_path / "ala2box-r000-traj.dcd"))
+    f1 = read_dcd(str(tmp_path / "ala2box-r001-traj.dcd"))
+    assert np.abs(f0[-1] - f1[-1]).max() > 1e-5
+    ckpt = tmp_path / "ala2box-8x-ensemble-restart.npz"
+    assert ckpt.exists()
+
+    proc = subprocess.run(
+        base + ["--sim-steps", "8", "--restart"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "resumed ensemble" in proc.stderr + proc.stdout
+    cont = read_dcd(str(tmp_path / "ala2box-r000-traj-restart.dcd"))
+    assert cont.shape == (2, len(box), 3)
+    # continuation starts from the checkpointed state, not from scratch
+    assert np.abs(cont[0] - f0[0]).max() > 1e-5

@@ -150,3 +150,38 @@ def test_replica_ensemble_runs(chig, use_mesh):
     assert np.all(np.isfinite(pos))
     assert np.all(np.asarray(state.step) == 4)
     assert not np.allclose(pos[0], pos[1])
+
+
+def test_solvated_replica_ensemble_runs(tmp_path):
+    """dp-sharded SOLVATED QM/MM replicas (VERDICT round 2, item 7): the
+    batched step runs on the mesh, replicas diverge, physics stays
+    finite."""
+    from ai2bmd_tpu.io.build import build_polyalanine
+    from ai2bmd_tpu.parallel import SolvatedReplicaEnsemble
+    from ai2bmd_tpu.preprocess import solvate
+
+    box = solvate(build_polyalanine(2), padding=4.0, seed=0)
+    params = V.init_params(jax.random.PRNGKey(0), TINY)
+    mesh = make_mesh(8, 1)
+    ens = SolvatedReplicaEnsemble.build(
+        box, params, TINY, n_replicas=8, mesh=mesh, steps_per_call=2,
+    )
+    state = ens.initial_state(box.positions, seed=1)
+    state = ens.run(state, 2)
+    pos = np.asarray(state.positions)
+    assert pos.shape == (8, len(box), 3)
+    assert np.all(np.isfinite(pos))
+    assert int(np.asarray(state.step)[0]) == 4
+    # independent Langevin noise must separate the replicas
+    assert np.abs(pos[0] - pos[1]).max() > 1e-5
+
+
+def test_solvated_ensemble_rejects_vacuum(chig):
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.io.reorder import normalize_atom_order
+    from ai2bmd_tpu.parallel import SolvatedReplicaEnsemble
+
+    atoms = normalize_atom_order(read_pdb(conftest.example_pdb("chig")))
+    params = V.init_params(jax.random.PRNGKey(0), TINY)
+    with pytest.raises(ValueError, match="no solvent"):
+        SolvatedReplicaEnsemble.build(atoms, params, TINY, n_replicas=2)
