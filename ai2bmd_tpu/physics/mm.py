@@ -66,6 +66,11 @@ class MMSystem:
     cmap_atoms: Any = None     # [M,5] int32: C(-1) N CA C N(+1)
     cmap_type: Any = None      # [M] int32
     cmap_coeffs: Any = None    # [T,R,R,4,4] bicubic coefficients, eV
+    # analytic LJ dispersion tail beyond the cutoff (g(r)=1 assumption):
+    # U_tail = lj_tail_a / V.  Without it a 9 A truncation reads ~100-200
+    # bar low on liquid water, which is why the round-2 NPT stage stalled
+    # at negative pressure (sander applies the same correction, vdwmeth=1)
+    lj_tail_a: float = 0.0     # eV * A^3
 
     @classmethod
     def build(
@@ -97,6 +102,11 @@ class MMSystem:
 
         q = top.charges
         e_self = -beta / np.sqrt(np.pi) * float(np.sum(q * q)) * units.COULOMB
+        lj_tail_a = _lj_tail_coefficient(
+            np.asarray(top.sigmas, np.float64),
+            np.asarray(top.epsilons, np.float64) * KCAL,
+            cutoff,
+        )
         e_neutral = (
             -np.pi / (2.0 * beta**2 * volume) * float(np.sum(q)) ** 2 * units.COULOMB
         )
@@ -141,7 +151,33 @@ class MMSystem:
             cmap_atoms=cmap_atoms,
             cmap_type=cmap_type,
             cmap_coeffs=cmap_coeffs,
+            lj_tail_a=lj_tail_a,
         )
+
+
+def _lj_tail_coefficient(sigma: np.ndarray, eps: np.ndarray, cutoff: float):
+    """A such that U_tail = A / V (eV), the standard analytic correction
+    for truncating 4*eps*((s/r)^12 - (s/r)^6) at rc with g(r)=1:
+
+        U_tail = (2*pi/V) * sum_{i != j} 4*eps_ij *
+                 (sigma_ij^12/(9 rc^9) - sigma_ij^6/(3 rc^3))
+
+    with Lorentz-Berthelot mixing.  Grouped over unique (sigma, eps)
+    types so the double sum is O(T^2), not O(N^2)."""
+    types, counts = np.unique(
+        np.stack([sigma, eps], axis=1), axis=0, return_counts=True
+    )
+    s_t, e_t = types[:, 0], types[:, 1]
+    n_t = counts.astype(np.float64)
+    sij = 0.5 * (s_t[:, None] + s_t[None, :])
+    eij = np.sqrt(e_t[:, None] * e_t[None, :])
+    per_pair = 4.0 * eij * (
+        sij**12 / (9.0 * cutoff**9) - sij**6 / (3.0 * cutoff**3)
+    )
+    pair_count = n_t[:, None] * n_t[None, :]
+    # remove the i == j self terms from the diagonal type blocks
+    total = np.sum(pair_count * per_pair) - np.sum(n_t * np.diag(per_pair))
+    return float(2.0 * np.pi * total)
 
 
 def cmap_bicubic_coeffs(grids: np.ndarray) -> np.ndarray:
@@ -491,6 +527,7 @@ def _recip_excl_energy(mm: MMSystem, P, cell=None):
     e = (
         jnp.sum(influence * jnp.abs(jnp.fft.fftn(rho)) ** 2) * units.COULOMB
         + mm.e_self + e_neutral
+        + mm.lj_tail_a / (cell[0] * cell[1] * cell[2])
     )
     if mm.excl_pairs.shape[0]:
         coul, lj, _ = _pair_terms(mm, P, mm.excl_pairs, cell)

@@ -135,7 +135,8 @@ class Preprocessor:
     heat_stages: tuple = (50.0, 150.0, 300.0)
     heat_steps: int = 200
     nvt_steps: int = 400
-    npt_steps: int = 0           # optional NPT stage
+    npt_steps: int = 4000        # Berendsen NPT stage (density convergence)
+    taup_fs: float = 200.0       # barostat time constant
     target_temp: float = 300.0
     cutoff: float = 9.0
     restraint_kcal: float = 10.0
@@ -258,7 +259,7 @@ class Preprocessor:
         # PME (the reference's final sander NPT stage, preprocess.py:435-479)
         cell = jnp.asarray(box.cell, jnp.float32)
         if self.npt_steps > 0:
-            taup_fs = 500.0
+            taup_fs = self.taup_fs
             compressibility = 4.6e-5 / 1.01325  # water, 1/bar -> 1/atm-ish
             bar_in_ev_a3 = 1e5 * 1e-30 / 1.602176634e-19  # eV/A^3 per bar
 
@@ -293,14 +294,22 @@ class Preprocessor:
 
             log(f"NPT equilibration ({self.npt_steps} steps)")
             done = 0
+            chunk_means = []
             while done < self.npt_steps:
                 state, cell, pres = npt_chunk(state, cell)
                 done += chunk_n
+                # chunk-mean instantaneous pressure: single-step values
+                # fluctuate by hundreds of bar on small boxes
+                chunk_means.append(float(np.asarray(pres).mean()))
                 log(
                     f"  [{min(done, self.npt_steps)}/{self.npt_steps}] "
                     f"cell = {np.round(np.asarray(cell), 2)}, "
-                    f"P = {float(np.asarray(pres)[-20:].mean()):.1f} bar"
+                    f"<P> = {chunk_means[-1]:.1f} bar"
                 )
+            # converged-stage pressure: mean over the final half of NPT
+            half = chunk_means[len(chunk_means) // 2:]
+            self.last_npt_pressure_bar = float(np.mean(half))
+            log(f"NPT final-half <P> = {self.last_npt_pressure_bar:.1f} bar")
             box.cell = np.asarray(cell, np.float64)
 
         # --- outputs ---

@@ -80,6 +80,8 @@ def test_mm_matches_exact_ewald_plus_lj(rng):
     eij = np.sqrt(top.epsilons[None] * top.epsilons[:, None]) * units.kcal_per_mol
     c6 = (sij / d) ** 6
     e_lj = 0.5 * np.sum(np.where(within, 4 * eij * (c6**2 - c6), 0.0))
+    # the engine adds the analytic LJ dispersion tail beyond the cutoff
+    e_lj += mm.lj_tail_a / float(np.prod(cell))
     assert abs(e_mm - (e_coul + e_lj)) < 5e-3 * max(1.0, abs(e_coul + e_lj))
 
 
@@ -302,3 +304,36 @@ def test_dense_pair_path_matches_nl_path(rng):
     assert abs(float(e_nl) - float(e_d)) < 1e-4 * scale
     fmax = float(jnp.max(jnp.abs(f_nl)))
     assert float(jnp.max(jnp.abs(f_nl - f_d))) < 1e-4 * max(1.0, fmax)
+
+
+def test_lj_tail_coefficient_pure_type():
+    """Single LJ type: the grouped tail coefficient must equal the closed
+    form 2*pi*N*(N-1)*4*eps*(s^12/(9rc^9) - s^6/(3rc^3))."""
+    n, s, e, rc = 17, 3.15, 0.0065, 8.0
+    a = MM._lj_tail_coefficient(np.full(n, s), np.full(n, e), rc)
+    expect = 2 * np.pi * n * (n - 1) * 4 * e * (
+        s**12 / (9 * rc**9) - s**6 / (3 * rc**3)
+    )
+    np.testing.assert_allclose(a, expect, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_npt_pressure_converges(tmp_path):
+    """Preprocessing NPT (with the LJ tail correction) must relax a small
+    solvated box to |<P>| < 200 bar (VERDICT round 2, item 8; reference
+    stage being matched: src/AIMD/preprocess.py:435-479).  <P> is the
+    mean over the final 500-step chunk — instantaneous values fluctuate
+    by hundreds of bar at this box size."""
+    from ai2bmd_tpu.io.build import build_polyalanine
+    from ai2bmd_tpu.io.pdb import write_pdb
+    from ai2bmd_tpu.preprocess import Preprocessor
+
+    pdb = str(tmp_path / "ala2.pdb")
+    write_pdb(pdb, build_polyalanine(2))
+    pre = Preprocessor(
+        log_dir=str(tmp_path), max_cyc=60, padding=8.0,
+        heat_stages=(100.0, 300.0), heat_steps=200, nvt_steps=400,
+        npt_steps=4000, cutoff=8.0,
+    )
+    pre.run(pdb, log=lambda *_: None)
+    assert abs(pre.last_npt_pressure_bar) < 200.0
