@@ -10,6 +10,15 @@ LBFGS cap optimization (<=10 closure evaluations with device syncs), >=4
 host<->device transfers, and python/ASE orchestration — estimated at
 25 ms/step => 3.5 ns/day at 1 fs.  vs_baseline = ours_ns_day / 3.5.
 
+The estimate's two factors are separable, and the architecture factor is
+MEASURED (benchmarks/reference_cpu_anchor.py, ANCHOR_r03.json): on one
+and the same CPU core, the reference's per-fragment torch loop and our
+single bucketed JAX batch cost the same (ratio 0.93) — our formulation
+is not cheaper math.  Every speedup bench.py reports is therefore the
+accelerator exploiting the batched execution model (one program, full
+MXU batches, no per-fragment dispatch or host syncs); only the
+A100-vs-v5e hardware bridge remains an estimate.
+
 Methodology: a single jitted lax.scan of STEPS Langevin steps runs
 entirely on device; we time repeat invocations, take the fastest, and
 subtract the measured null-dispatch round trip (the dev tunnel to the TPU
