@@ -54,7 +54,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ai2bmd_tpu import units
-from ai2bmd_tpu.ops.neighbors import NeighborList, build_neighbor_list
+from ai2bmd_tpu.ops.neighbors import (
+    NeighborList,
+    build_neighbor_list,
+    build_neighbor_list_cells,
+    cell_grid,
+)
 from ai2bmd_tpu.physics import amoeba_pme as MP
 from ai2bmd_tpu.physics.amoeba import _thole_lambdas, rotate_multipoles
 from ai2bmd_tpu.physics.amoeba_protein import (
@@ -106,6 +111,8 @@ class AmoebaPeriodicSystem:
     px_pairs: Any             # [Mp,2] pairs with pscale != 1
     px_scale: Any             # [Mp]
     grp_pairs: Any            # [Gp,2] intra-polarization-group pairs
+    nl_grid: Any = None       # (nc, max_occ): O(N) cell-list rebuild for
+    #                           >24k-atom boxes; None = tiled dense O(N^2)
 
     @classmethod
     def build(
@@ -150,6 +157,10 @@ class AmoebaPeriodicSystem:
             vx_pairs=vx_p, vx_scale=vx_s,
             px_pairs=px_p, px_scale=px_s,
             grp_pairs=jnp.asarray(asg.group_pairs),
+            nl_grid=(
+                cell_grid(np.asarray(cell, np.float64), cutoff, len(asg.q))
+                if len(asg.q) > 24_000 else None
+            ),
         )
 
     def neighbor_list(self, P, k_max: int | None = None) -> NeighborList:
@@ -161,6 +172,11 @@ class AmoebaPeriodicSystem:
         QM/MM production path does)."""
         if k_max is None:
             k_max = int(np.ceil(0.13 * 4.19 * self.cutoff**3 / 64.0)) * 64
+        if self.nl_grid is not None:
+            nc, max_occ = self.nl_grid
+            return build_neighbor_list_cells(
+                P, self.cutoff, k_max, self.cell, nc, max_occ
+            )
         return build_neighbor_list(P, self.cutoff, k_max, cell=self.cell)
 
     # ------------------------------------------------------------------

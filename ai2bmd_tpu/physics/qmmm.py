@@ -105,6 +105,9 @@ class QMMMPotential:
     dense: bool = False          # dense tiled pair path: no neighbor lists
     #                              in aux at all (ff19sb default; the nl
     #                              closures then ignore their nl argument)
+    nl_grid: Any = None          # (nc, max_occ) for the O(N) cell-list
+    #                              rebuild on >24k-atom boxes; None = the
+    #                              exact tiled dense O(N^2) rebuild
 
     @classmethod
     def build(
@@ -205,6 +208,12 @@ class QMMMPotential:
             k_neighbors=k_neighbors, skin=skin, top=top,
             cutoff=cutoff, cell=jnp.asarray(atoms.cell, jnp.float32),
             dense=dense,
+            # O(N) cell-list rebuild once the O(N^2) dense pass stops
+            # being negligible (>24k atoms); exact same pair set
+            nl_grid=(
+                NL.cell_grid(atoms.cell, cutoff + skin, top.n_atoms)
+                if top.n_atoms > 24_000 else None
+            ),
         )
 
     @staticmethod
@@ -281,12 +290,21 @@ class QMMMPotential:
         return mm_full_ef, mm_prot_ef
 
     # -- aux = (full-system neighbor list | (), QM carry) --------------------
+    def _build_nl(self, P):
+        if self.nl_grid is not None:
+            nc, max_occ = self.nl_grid
+            return NL.build_neighbor_list_cells(
+                P, self.cutoff + self.skin, self.k_neighbors, self.cell,
+                nc, max_occ,
+            )
+        return NL.build_neighbor_list(
+            P, self.cutoff + self.skin, self.k_neighbors, self.cell
+        )
+
     def init_aux(self, P: jnp.ndarray):
         if self.dense:
             return ((), self.qm_init_aux)
-        nl = NL.build_neighbor_list(
-            P, self.cutoff + self.skin, self.k_neighbors, self.cell
-        )
+        nl = self._build_nl(P)
         # init_aux runs outside jit: surface an undersized K immediately
         # rather than silently truncating interactions for the whole run
         if bool(jax.device_get(nl.overflow)):
@@ -303,9 +321,7 @@ class QMMMPotential:
         if not self.dense:
             nl = jax.lax.cond(
                 NL.needs_rebuild(nl, P, self.skin, self.cell),
-                lambda: NL.build_neighbor_list(
-                    P, self.cutoff + self.skin, self.k_neighbors, self.cell,
-                ),
+                lambda: self._build_nl(P),
                 lambda: nl,
             )
 

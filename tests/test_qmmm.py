@@ -118,3 +118,35 @@ def test_solvated_rigid_water_2fs(tmp_path):
     step_lines = [l for l in logs if "T = " in l]
     temp = float(step_lines[-1].split("T = ")[1].split("K")[0])
     assert 150.0 < temp < 500.0, temp
+
+
+@pytest.mark.slow
+def test_cell_list_rebuild_matches_dense_on_real_box():
+    """Forcing the O(N) cell-list rebuild onto the 17.9k-atom box must
+    reproduce the dense-rebuild energy/forces exactly (same pair set)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai2bmd_tpu.io.pdb import read_pdb
+    from ai2bmd_tpu.io.reorder import normalize_atom_order
+    from ai2bmd_tpu.ops.neighbors import cell_grid
+    from ai2bmd_tpu.physics.qmmm import QMMMPotential
+
+    atoms = normalize_atom_order(read_pdb(conftest.example_pdb("chig-preeq")))
+    zero_qm = lambda P: (jnp.float32(0.0), jnp.zeros_like(P))
+    pot = QMMMPotential.build(
+        atoms, qm_energy_forces=zero_qm, pair_backend="nl", k_neighbors=768
+    )
+    assert pot.nl_grid is None          # 17.9k is under the auto threshold
+    P = jnp.asarray(atoms.positions, jnp.float32)
+    e_d, f_d, _ = pot(P, pot.init_aux(P))
+
+    grid = cell_grid(atoms.cell, pot.cutoff + pot.skin, pot.n_atoms)
+    pot_c = dataclasses.replace(pot, nl_grid=grid)
+    e_c, f_c, _ = pot_c(P, pot_c.init_aux(P))
+    np.testing.assert_allclose(float(e_d), float(e_c), rtol=0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(f_d), np.asarray(f_c), rtol=0, atol=1e-4
+    )
