@@ -494,17 +494,29 @@ class AmoebaPeriodicSystem:
 
         return F, alpha, pcorr
 
-    def induced_dipoles_ewald(self, P, nl: NeighborList, cg_iters: int = 12):
+    def induced_dipoles_ewald(self, P, nl: NeighborList, cg_iters: int = 12,
+                              m0=None):
         """Fixed-iteration CG minimization of the quadratic induction
         functional; returns (mu_ind [N,3], E_pol(mu_ind) in e^2/A,
-        including the p-vs-d energy-field cross correction)."""
+        including the p-vs-d energy-field cross correction).
+
+        `m0` warm-starts the CG (e.g. the previous MD step's converged
+        dipoles, threaded through the QM/MM aux): at 1 fs displacements
+        the minimizer moves little, so a warm start reaches a given
+        residual in ~half the iterations of a cold start (measured in
+        tests/test_amoeba_induction.py).  m0 is stop_gradient'd — it is
+        previous-step state, not a function of the current positions."""
         F, alpha, pcorr = self._induction_functional(P, nl)
         gradF = jax.grad(F)
-        m0 = jnp.zeros((self.n_atoms, 3), P.dtype)
+        zeros = jnp.zeros((self.n_atoms, 3), P.dtype)
         # F is quadratic: linearize gradF ONCE — g0 = -E_d (the permanent
         # field) and hvp is the constant Hessian-vector product, evaluated
         # without re-running the primal each CG iteration
-        g0, hvp = jax.linearize(gradF, m0)
+        g0, hvp = jax.linearize(gradF, zeros)
+        if m0 is None:
+            m0 = zeros
+        else:
+            m0 = jax.lax.stop_gradient(m0.astype(P.dtype))
 
         @jax.checkpoint
         def body(carry, _):
@@ -521,14 +533,14 @@ class AmoebaPeriodicSystem:
                           jnp.sum(r_new * r_new) / jnp.sum(r_ * r_), 0.0)
             return (m_new, r_new, r_new + b * p_), None
 
-        r0 = -g0
+        r0 = -g0 - hvp(m0)
         (m, _, _), _ = jax.lax.scan(
             body, (m0, r0, r0), None, length=cg_iters
         )
         return m, F(m) + pcorr(m)
 
     def polarization_energy_ewald(self, P, nl: NeighborList,
-                                  cg_iters: int = 12):
+                                  cg_iters: int = 12, m0=None):
         """Polarization energy with the full-Ewald interaction: the SCF
         minimizes the d-masked functional (F(m*) = -1/2 m.E_d) and the
         energy adds the p-vs-d cross correction so the result is AMOEBA's
@@ -536,16 +548,29 @@ class AmoebaPeriodicSystem:
         protein 1-2/1-3 pairs spanning polarization groups).  Gradients
         flow through the unrolled CG, so forces pick up the dm/dP term of
         the correction automatically."""
-        _, fmin = self.induced_dipoles_ewald(P, nl, cg_iters)
+        _, fmin = self.induced_dipoles_ewald(P, nl, cg_iters, m0=m0)
         return units.COULOMB * fmin
 
     def energy_ewald_induction(self, P, nl: NeighborList,
-                               cg_iters: int = 12):
+                               cg_iters: int = 12, m0=None):
         return (
             self.permanent_energy(P, nl)
-            + self.polarization_energy_ewald(P, nl, cg_iters)
+            + self.polarization_energy_ewald(P, nl, cg_iters, m0=m0)
             + self.vdw_energy(P, nl)
         )
+
+    def energy_ewald_induction_warm(self, P, nl: NeighborList, m0,
+                                    cg_iters: int = 12):
+        """(E, mu*) for warm-carry callers: same energy as
+        `energy_ewald_induction(..., m0=m0)` plus the converged dipoles
+        to thread into the next step's warm start."""
+        m, fmin = self.induced_dipoles_ewald(P, nl, cg_iters, m0=m0)
+        e = (
+            self.permanent_energy(P, nl)
+            + units.COULOMB * fmin
+            + self.vdw_energy(P, nl)
+        )
+        return e, jax.lax.stop_gradient(m)
 
     # ------------------------------------------------------------------
     def _vdw_pair(self, r, rm_i, rm_j, ep_i, ep_j):

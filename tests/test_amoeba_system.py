@@ -51,6 +51,7 @@ def test_water_assignment_via_generic_path(water_box):
     assert len(set(asg.group_id.tolist())) == 27     # one group per water
 
 
+@pytest.mark.slow
 def test_nl_matches_dense_box(water_box):
     """Every component must agree with the dense-mask AmoebaWaterBox to
     machine precision (vdW: to the atom-vs-reduced-site border tolerance)."""

@@ -1,5 +1,6 @@
 """CLI surface tests (reference src/AIMD/arguments.py flag parity)."""
 
+import pytest
 import subprocess
 import sys
 
@@ -35,6 +36,7 @@ def test_tpu_flags():
     assert args.mesh_dp == 2 and args.mesh_mp == 4
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     conftest.require_examples()
     proc = subprocess.run(
@@ -55,6 +57,7 @@ def test_cli_end_to_end(tmp_path):
     assert "Simulation finished!" in proc.stdout
 
 
+@pytest.mark.slow
 def test_cli_ensemble_mode(tmp_path):
     conftest.require_examples()
     import os as _os
@@ -85,6 +88,7 @@ def test_cli_ensemble_mode(tmp_path):
     assert np.all(np.isfinite(final["positions"]))
 
 
+@pytest.mark.slow
 def test_cli_solvated_ensemble_dcds_and_restart(tmp_path):
     """8-replica solvated ensemble writes 8 readable per-replica DCDs and
     an ensemble restart that --restart resumes (VERDICT round 2, item 7)."""

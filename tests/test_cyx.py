@@ -3,6 +3,7 @@
 src/Fragmentation/distancefrag.py:189-240, 804-844)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,7 @@ def test_cyx_stitch_coverage():
     assert np.all(counts == 1)
 
 
+@pytest.mark.slow
 def test_cyx_forces_finite():
     atoms = _cyx_atoms()
     prot = Protein.from_atoms(atoms)

@@ -29,6 +29,7 @@ def chig_sim(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_chignolin_short_md(chig_sim):
     logs = []
     state = chig_sim.simulate(10, log=logs.append)
@@ -42,6 +43,7 @@ def test_chignolin_short_md(chig_sim):
     assert any("Epot" in l for l in logs)
 
 
+@pytest.mark.slow    # continues test_chignolin_short_md's trajectory
 def test_chignolin_restart(chig_sim):
     state = chig_sim.simulate(5, restart=True, log=lambda *_: None)
     assert int(state.step) == 3 * 5 + 10 + 5

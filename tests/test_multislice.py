@@ -65,6 +65,7 @@ def test_bad_shapes_rejected():
         make_hybrid_mesh(2, 2, n_slices=2)  # 2x2 != 4 devices per slice
 
 
+@pytest.mark.slow
 def test_ensemble_on_hybrid_mesh_matches_flat_mesh(chig):
     """A 2-slice hybrid mesh must produce bitwise the same replica
     trajectories as the equivalent single-slice (dp, mp) mesh: per-replica

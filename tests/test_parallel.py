@@ -35,6 +35,7 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dp,n_mp", [(2, 4), (4, 2), (1, 8)])
 def test_ensemble_step_runs(chig, n_dp, n_mp):
     prot, fi, params = chig
@@ -79,6 +80,7 @@ def test_sharded_matches_single_device(chig, n_dp, n_mp):
     np.testing.assert_allclose(np.asarray(f8), f1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_padded_rows_do_not_change_physics(chig):
     """row_multiple padding (needed for sharding) must not alter results."""
     from ai2bmd_tpu.frag.runtime import FragmentRuntime, fragment_energy_forces
@@ -93,6 +95,7 @@ def test_padded_rows_do_not_change_physics(chig):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f8), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_replica_batched_potential_matches_single(chig):
     """The replica-batched fragment evaluation must reproduce the
     single-replica potential per replica (VERDICT round 1, item 4)."""
@@ -133,6 +136,7 @@ def test_replica_batched_potential_matches_single(chig):
     assert d.shape == deltas0.shape
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_mesh", [False, True])
 def test_replica_ensemble_runs(chig, use_mesh):
     from ai2bmd_tpu.parallel import ReplicaEnsemble
@@ -152,6 +156,7 @@ def test_replica_ensemble_runs(chig, use_mesh):
     assert not np.allclose(pos[0], pos[1])
 
 
+@pytest.mark.slow
 def test_solvated_replica_ensemble_runs(tmp_path):
     """dp-sharded SOLVATED QM/MM replicas (VERDICT round 2, item 7): the
     batched step runs on the mesh, replicas diverge, physics stays

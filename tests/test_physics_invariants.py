@@ -4,6 +4,7 @@ rotational equivariance of stitched forces, solvated restart continuity."""
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,7 @@ from ai2bmd_tpu.system import Protein
 TINY = V.ViSNetConfig(hidden_channels=16, num_heads=2, num_layers=2, num_rbf=4)
 
 
+@pytest.mark.slow
 def test_fragment_potential_equivariance():
     """Rotating the protein must rotate the stitched bonded forces: the
     whole pipeline (cap placement, L-BFGS, ViSNet, stitching) is
@@ -40,6 +42,7 @@ def test_fragment_potential_equivariance():
     )
 
 
+@pytest.mark.slow
 def test_solvated_restart_continuity(tmp_path):
     """QM/MM restart: positions/velocities resume exactly; the aux
     (neighbor list + cap offsets) self-heals on the first step."""

@@ -12,6 +12,7 @@ from ai2bmd_tpu.simulators import ProteinSimulation
 TINY = ViSNetConfig(hidden_channels=16, num_heads=2, num_layers=2, num_rbf=4)
 
 
+@pytest.mark.slow
 def test_solvated_qmmm_step(tmp_path):
     conftest.require_examples()
     sim = ProteinSimulation.from_pdb(
@@ -89,6 +90,7 @@ def test_cmap_cancels_in_subtraction():
     np.testing.assert_allclose(e_full, e_prot, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_solvated_rigid_water_2fs(tmp_path):
     """Rigid-water (SETTLE) solvated QM/MM at 2 fs: constraints hold and
     the box stays thermally sane (VERDICT round 1, item 8)."""

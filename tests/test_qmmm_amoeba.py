@@ -61,6 +61,7 @@ def _synthetic_solvated(n_side=3, margin=6.0):
     return atoms, n_p, W
 
 
+@pytest.mark.slow
 def test_amoeba_backend_qmmm_combiner():
     atoms, n_p, W = _synthetic_solvated()
     assert W >= 10
@@ -90,6 +91,7 @@ def test_amoeba_backend_qmmm_combiner():
     assert float(jnp.linalg.norm(f2[n_p + 1])) > 1e-6
 
 
+@pytest.mark.slow
 def test_amoeba_backend_matches_ff19sb_structure(tmp_path):
     """Both backends run through the identical combiner: same aux
     structure, same shapes, finite results."""

@@ -149,6 +149,7 @@ def test_vecnorm_variants(rng):
         assert np.all(np.isfinite(e)) and np.all(np.isfinite(f))
 
 
+@pytest.mark.slow
 def test_default_config_smoke(rng):
     cfg = V.ViSNetConfig()
     p = V.init_params(jax.random.PRNGKey(2), cfg)
