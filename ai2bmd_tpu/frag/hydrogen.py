@@ -34,9 +34,14 @@ class HydrogenTables:
     free: Any               # [R, S, 1] float mask over cap coordinates
     scee: float
     scnb: float
+    fused: Any = None       # CapKernelTables: fused analytic-gradient
+    #                         Pallas kernel (opt-in AI2BMD_FUSED_CAPS=1;
+    #                         pending on-chip measurement)
 
     @classmethod
     def build(cls, top: TypeTopology, row_prmtop: list[str], is_cap: np.ndarray):
+        import os
+
         tables = {
             k: jnp.asarray(getattr(top, k))
             for k in (
@@ -46,12 +51,22 @@ class HydrogenTables:
                 "nb_ij", "nb_acoef", "nb_bcoef", "nb_qq", "nb_mask",
             )
         }
+        type_id = top.type_ids(row_prmtop)
+        fused = None
+        if os.environ.get("AI2BMD_FUSED_CAPS") == "1":
+            from ai2bmd_tpu.ops.pallas.caps import CapKernelTables
+
+            fused = CapKernelTables.build(
+                tables, type_id, S=is_cap.shape[1],
+                scee=top.scee, scnb=top.scnb,
+            )
         return cls(
             tables=tables,
-            type_id=jnp.asarray(top.type_ids(row_prmtop)),
+            type_id=jnp.asarray(type_id),
             free=jnp.asarray(is_cap[..., None].astype(np.float32)),
             scee=top.scee,
             scnb=top.scnb,
+            fused=fused,
         )
 
 
@@ -155,7 +170,12 @@ def optimize_caps(
 
     def egrad(x):
         p = x.reshape(shape)
-        g = jax.grad(lambda p_: amber_energy(ht, p_))(p).reshape(-1)
+        if ht.fused is not None:
+            from ai2bmd_tpu.ops.pallas.caps import amber_grad_rows
+
+            g = amber_grad_rows(ht.fused, p).reshape(-1)
+        else:
+            g = jax.grad(lambda p_: amber_energy(ht, p_))(p).reshape(-1)
         return g * free
 
     # statically unrolled (n_iter is small and fixed): the gradient after
