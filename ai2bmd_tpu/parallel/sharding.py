@@ -703,11 +703,12 @@ class SolvatedReplicaEnsemble:
 
     @staticmethod
     def _state_spec():
-        # aux = ((), qm cap-delta array): spec mirrors the pytree
+        # aux = ((), qm cap-delta array, ((), ()) mm carry) — mirrors the
+        # dense-backend QMMMPotential aux pytree
         return L.MDState(
             positions=P("dp", None, None), velocities=P("dp", None, None),
             forces=P("dp", None, None), energy=P("dp"), key=P("dp", None),
-            step=P("dp"), aux=((), P("dp", None, None, None)),
+            step=P("dp"), aux=((), P("dp", None, None, None), ((), ())),
         )
 
     def initial_state(self, positions: np.ndarray, temp_K: float = 300.0,

@@ -28,6 +28,9 @@ PROTEINS = {
     "ww": example_pdb("ww"),
     "abd": example_pdb("abd"),
     "chig-solvated": example_pdb("chig-preeq"),
+    # polarizable AMOEBA MM backend (Ewald-CG induction, warm dipole
+    # carry) on the same box — VERDICT round 2 item 6 measurement
+    "chig-solvated-amoeba": example_pdb("chig-preeq"),
 }
 
 
@@ -79,12 +82,14 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
         prot = full.select(qm_idx)
         pot = FragmentPotential.build(prot, params, cfg, longrange="mm")
         qm_aux0 = pot.init_cap_delta(jnp.asarray(prot.positions, jnp.float32))
+        mm_backend = "amoeba" if name.endswith("amoeba") else "ff19sb"
         qmmm = QMMMPotential.build(
             atoms,
             qm_stateful=lambda Pq, qa: pot.stateful_energy_forces(Pq, qa, 4),
             qm_init_aux=qm_aux0,
+            mm_backend=mm_backend,
         )
-        if not qmmm.dense:
+        if mm_backend == "ff19sb" and not qmmm.dense:
             raise RuntimeError("benchmark stabilizer assumes the dense path")
 
         # With the QM head zeroed the protein has NO internal forces
@@ -97,7 +102,17 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
         def potential(P, aux):
             e, f, aux = qmmm(P, aux)
             Pp = P[qmmm.sel]
-            e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
+            if qmmm.dense:
+                e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
+            else:
+                from ai2bmd_tpu.ops import neighbors as NL
+
+                n_prot = qmmm.sel.shape[0]
+                nlp = NL.build_neighbor_list(
+                    Pp, qmmm.cutoff, min(qmmm.k_neighbors, n_prot),
+                    qmmm.cell, tile=min(512, n_prot),
+                )
+                e1, f1, _ = qmmm.mm_prot_ef(Pp, nlp, qmmm.mm_init_carry[1])
             return e + e1, f.at[qmmm.sel].add(f1), aux
 
         init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
