@@ -285,6 +285,12 @@ def _run_ensemble(args, prot_file, log_dir, model_cfg, log) -> int:
     if solvated:
         # solvated QM/MM replicas shard over dp only (one solvated step
         # already fills a chip; mp fragment sharding buys nothing there)
+        if args.mm_method == "amoeba":
+            log.warning(
+                "solvated ensembles run the ff19sb dense backend (the "
+                "AMOEBA backend's neighbor-list aux is per-trajectory); "
+                "use --replicas 1 for AMOEBA QM/MM"
+            )
         mesh = make_mesh(n_dp, 1) if n_dp > 1 else None
         ens = SolvatedReplicaEnsemble.build(
             atoms, params, cfg,
@@ -394,6 +400,12 @@ def _load_ensemble_restart(path: str, template_state, log):
             f"ensemble restart {path} has {n} state leaves, expected "
             f"{len(t_leaves)} (different engine or replica count?)"
         )
+    for i, (v, t) in enumerate(zip(leaves, t_leaves)):
+        if tuple(v.shape) != tuple(t.shape):
+            raise ValueError(
+                f"ensemble restart {path} leaf {i} has shape {v.shape}, "
+                f"expected {t.shape} (different replica count or protein?)"
+            )
     state = jax.tree.unflatten(
         treedef,
         [

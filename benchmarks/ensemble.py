@@ -30,6 +30,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # env alone does not stop out-of-tree platform plugins from
+        # initializing (a dead TPU tunnel then errors/hangs); pin it
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.precision != "default":
         jax.config.update("jax_default_matmul_precision", args.precision)
 

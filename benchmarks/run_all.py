@@ -34,7 +34,8 @@ PROTEINS = {
 }
 
 
-def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
+def bench_one(name: str, path: str, steps: int, precision: str = "float32",
+              preset: str = "prod"):
     """Runs at the requested matmul precision (default float32, the fidelity
     mode bench.py reports; pass --precision default for TPU bf16 passes).
     Every output line carries its precision so results stay comparable."""
@@ -49,12 +50,22 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
     from ai2bmd_tpu.potentials import FragmentPotential
     from ai2bmd_tpu.system import Protein
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # env alone does not stop out-of-tree platform plugins from
+        # initializing (a dead TPU tunnel then errors/hangs); pin it
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if precision != "default":
         jax.config.update("jax_default_matmul_precision", precision)
 
     atoms = normalize_atom_order(read_pdb(path))
     full = Protein.from_atoms(atoms)
-    cfg = V.ViSNetConfig()
+    if preset == "tiny":
+        # CPU path-validation only — never a reportable number
+        cfg = V.ViSNetConfig(
+            hidden_channels=32, num_heads=4, num_layers=2, num_rbf=8
+        )
+    else:
+        cfg = V.ViSNetConfig()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params_h = V.init_params(jax.random.PRNGKey(0), cfg)
@@ -163,6 +174,8 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32"):
             "zeroed output head (random weights destabilize the solvated "
             "box; QM compute cost is weight-independent)"
         )
+    if preset != "prod":
+        out["preset"] = preset + " (path validation, not a benchmark)"
     return out
 
 
@@ -175,11 +188,18 @@ def main():
         help="matmul precision: float32 (fidelity, default) or 'default' "
              "(platform default; bf16 passes on TPU)",
     )
+    ap.add_argument(
+        "--preset", type=str, default="prod", choices=["prod", "tiny"],
+        help="tiny = CPU path-validation model, never a reportable number",
+    )
     args = ap.parse_args()
     for name in args.configs.split(","):
         print(
             json.dumps(
-                bench_one(name, PROTEINS[name], args.steps, args.precision)
+                bench_one(
+                    name, PROTEINS[name], args.steps, args.precision,
+                    args.preset,
+                )
             ),
             flush=True,
         )

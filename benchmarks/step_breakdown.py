@@ -56,6 +56,10 @@ def main():
     from ai2bmd_tpu.physics.nonbonded import NonbondedParams, nonbonded_energy_forces
     from ai2bmd_tpu.potentials import FragmentPotential
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # env alone does not stop out-of-tree platform plugins from
+        # initializing (a dead TPU tunnel then errors/hangs); pin it
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_matmul_precision", "float32")
     prot = _chig_protein()
     cfg = V.ViSNetConfig()
