@@ -34,7 +34,7 @@ measured on a real chip (the TPU tunnel was down when this landed).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +141,7 @@ def _kernel(pos_ref, sb_i, sb_j, sa_i, sa_j, sa_k, sd_0, sd_1, sd_2, sd_3,
 
     def put(f, sel_ref):                             # [8, S]
         return jax.lax.dot_general(
-            f, sel_ref[0], (((1,), (2 - 1,)), ((), ())),
+            f, sel_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
