@@ -188,7 +188,11 @@ def main(argv=None) -> int:
             hidden_channels=32, num_heads=4, num_layers=2, num_rbf=8
         )
 
-    if args.replicas > 1:
+    if args.replicas > 1 or args.mesh_mp > 1:
+        # --mesh-mp N with --replicas 1 runs ONE trajectory with the
+        # fragment axis sharded over N chips (the reference's
+        # device_strategy fragment-scattering role, src/Calculators/
+        # device_strategy.py:84-127) via the same engine
         return _run_ensemble(args, prot_file, log_dir, model_cfg, log)
 
     sim = ProteinSimulation.from_pdb(

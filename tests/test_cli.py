@@ -144,3 +144,37 @@ def test_cli_solvated_ensemble_dcds_and_restart(tmp_path):
     assert cont.shape == (2, len(box), 3)
     # continuation starts from the checkpointed state, not from scratch
     assert np.abs(cont[0] - f0[0]).max() > 1e-5
+
+
+@pytest.mark.slow
+def test_cli_single_trajectory_mp_sharded(tmp_path):
+    """--replicas 1 --mesh-mp 8: ONE trajectory with the fragment axis
+    sharded over the mesh (the reference's device_strategy
+    fragment-scattering role)."""
+    import os as _os
+
+    import numpy as np
+
+    from ai2bmd_tpu.io.trajectory import read_dcd
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "ai2bmd_tpu",
+            "--prot-file", conftest.example_pdb("chig"),
+            "--log-dir", str(tmp_path),
+            "--sim-steps", "4", "--record-per-steps", "2",
+            "--replicas", "1", "--mesh-dp", "1", "--mesh-mp", "8",
+            "--model-preset", "tiny", "--no-solvent",
+        ],
+        capture_output=True, text=True, timeout=1200,
+        env={
+            **_os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        },
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    frames = read_dcd(str(tmp_path / "chig-r000-traj.dcd"))
+    assert frames.shape == (2, 175, 3)
+    assert np.all(np.isfinite(frames))
