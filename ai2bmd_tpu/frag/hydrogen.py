@@ -37,6 +37,8 @@ class HydrogenTables:
     fused: Any = None       # CapKernelTables: fused analytic-gradient
     #                         Pallas kernel (opt-in AI2BMD_FUSED_CAPS=1;
     #                         pending on-chip measurement)
+    row_tables: Any = None  # pre-gathered per-row tables (static type_id
+    #                         only; None when type_id is a traced shard)
 
     @classmethod
     def build(cls, top: TypeTopology, row_prmtop: list[str], is_cap: np.ndarray):
@@ -60,7 +62,7 @@ class HydrogenTables:
                 tables, type_id, S=is_cap.shape[1],
                 scee=top.scee, scnb=top.scnb,
             )
-        return cls(
+        ht = cls(
             tables=tables,
             type_id=jnp.asarray(type_id),
             free=jnp.asarray(is_cap[..., None].astype(np.float32)),
@@ -68,6 +70,10 @@ class HydrogenTables:
             scnb=top.scnb,
             fused=fused,
         )
+        # type_id is static per system: pre-gather the per-row tables once
+        # instead of re-gathering inside every energy evaluation
+        ht.row_tables = jax.tree.map(lambda t: t[ht.type_id], tables)
+        return ht
 
 
 def _safe_norm(v, axis=-1, eps=1e-12):
@@ -135,7 +141,9 @@ def amber_row_energy(tab: dict, pos: jnp.ndarray, scee: float, scnb: float):
 
 def amber_energy(ht: HydrogenTables, pos: jnp.ndarray) -> jnp.ndarray:
     """Total AMBER energy over all rows; pos [R, S, 3] -> scalar."""
-    row_tabs = jax.tree.map(lambda t: t[ht.type_id], ht.tables)
+    row_tabs = getattr(ht, "row_tables", None)
+    if row_tabs is None:
+        row_tabs = jax.tree.map(lambda t: t[ht.type_id], ht.tables)
     e = jax.vmap(lambda tab, p: amber_row_energy(tab, p, ht.scee, ht.scnb))(
         row_tabs, pos
     )
