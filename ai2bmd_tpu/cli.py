@@ -123,7 +123,10 @@ def main(argv=None) -> int:
     # the process before the first dispatch.  The config update pins the
     # platform list for real (same pattern as tests/conftest.py).
     if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plats = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in plats.split(","):
+            plats += ",cpu"  # keep host cpu backend for param init
+        jax.config.update("jax_platforms", plats)
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     for flag in ("device_strategy", "work_strategy", "chunk_size"):

@@ -52,8 +52,13 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
 
     if os.environ.get("JAX_PLATFORMS"):
         # env alone does not stop out-of-tree platform plugins from
-        # initializing (a dead TPU tunnel then errors/hangs); pin it
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        # initializing (a dead TPU tunnel then errors/hangs); pin it.
+        # Always keep the host cpu backend alongside: params are built on
+        # it, and pinning e.g. "axon" alone would unregister it.
+        plats = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in plats.split(","):
+            plats += ",cpu"
+        jax.config.update("jax_platforms", plats)
     if precision != "default":
         jax.config.update("jax_default_matmul_precision", precision)
 

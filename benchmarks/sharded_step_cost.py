@@ -40,7 +40,10 @@ def main():
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plats = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in plats.split(","):
+            plats += ",cpu"  # keep host cpu backend for param init
+        jax.config.update("jax_platforms", plats)
     import jax.numpy as jnp
     import numpy as np
 

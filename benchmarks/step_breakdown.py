@@ -59,7 +59,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         # env alone does not stop out-of-tree platform plugins from
         # initializing (a dead TPU tunnel then errors/hangs); pin it
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plats = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in plats.split(","):
+            plats += ",cpu"  # keep host cpu backend for param init
+        jax.config.update("jax_platforms", plats)
     jax.config.update("jax_default_matmul_precision", "float32")
     prot = _chig_protein()
     cfg = V.ViSNetConfig()
