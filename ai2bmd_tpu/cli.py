@@ -117,16 +117,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    # honor JAX_PLATFORMS strictly: the env var alone does not stop
-    # out-of-tree platform plugins (e.g. a tunneled-TPU plugin) from
-    # merging themselves back in at init — and a dead tunnel then hangs
-    # the process before the first dispatch.  The config update pins the
-    # platform list for real (same pattern as tests/conftest.py).
-    if os.environ.get("JAX_PLATFORMS"):
-        plats = os.environ["JAX_PLATFORMS"]
-        if "cpu" not in plats.split(","):
-            plats += ",cpu"  # keep host cpu backend for param init
-        jax.config.update("jax_platforms", plats)
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
+
+    pin_jax_platforms()
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     for flag in ("device_strategy", "work_strategy", "chunk_size"):

@@ -35,8 +35,9 @@ class HydrogenTables:
     scee: float
     scnb: float
     fused: Any = None       # CapKernelTables: fused analytic-gradient
-    #                         Pallas kernel (opt-in AI2BMD_FUSED_CAPS=1;
-    #                         pending on-chip measurement)
+    #                         Pallas kernel — DEFAULT-ON on TPU (measured
+    #                         r4: 8.91 -> 8.51 ms/step chig); opt out with
+    #                         AI2BMD_FUSED_CAPS=0
     row_tables: Any = None  # pre-gathered per-row tables (static type_id
     #                         only; None when type_id is a traced shard)
 
@@ -55,13 +56,24 @@ class HydrogenTables:
         }
         type_id = top.type_ids(row_prmtop)
         fused = None
-        if os.environ.get("AI2BMD_FUSED_CAPS") == "1":
-            from ai2bmd_tpu.ops.pallas.caps import CapKernelTables
+        env = os.environ.get("AI2BMD_FUSED_CAPS")
+        if env != "0":
+            # default-on on TPU (Mosaic-only kernel); "1" forces the build
+            # regardless of backend (interpret-mode tests build the tables
+            # directly), "0" opts out
+            try:
+                import jax as _jax
 
-            fused = CapKernelTables.build(
-                tables, type_id, S=is_cap.shape[1],
-                scee=top.scee, scnb=top.scnb,
-            )
+                on_tpu = _jax.devices()[0].platform == "tpu"
+            except RuntimeError:
+                on_tpu = False
+            if on_tpu or env == "1":
+                from ai2bmd_tpu.ops.pallas.caps import CapKernelTables
+
+                fused = CapKernelTables.build(
+                    tables, type_id, S=is_cap.shape[1],
+                    scee=top.scee, scnb=top.scnb,
+                )
         ht = cls(
             tables=tables,
             type_id=jnp.asarray(type_id),

@@ -430,6 +430,22 @@ def build_fragment_index(atoms: PDBAtoms, slot_multiple: int = 8) -> FragmentInd
                     row_z[r, s] = 1
             offset += length
         row_natom[r] = offset
+        if len(members) == 2:
+            # a merged cystine row must not contain the same protein atom
+            # twice: sequence-adjacent CYX pairs (|i-j| <= 2) share backbone
+            # atoms between the two dipeptide halves, which puts duplicate
+            # coordinates into one fragment (zero-distance AMBER pairs ->
+            # NaN).  Chemically such disulfides do not exist; fail loudly
+            # instead of producing NaN forces.  (The reference's merge,
+            # distancefrag.py:189-240, has the same implicit assumption.)
+            real = valid[r, :offset] & ~is_cap[r, :offset]
+            gathered = gather_idx[r, :offset][real]
+            if len(np.unique(gathered)) != len(gathered):
+                raise ValueError(
+                    "disulfide merge between sequence-adjacent cystines: "
+                    f"dipeptides {members} share protein atoms; such a "
+                    "disulfide is not representable as one fragment"
+                )
         # hard parity check against the reference templates
         if members:
             tz = templates["z"][row_type[r]]

@@ -102,11 +102,19 @@ class CapKernelTables:
         live_b = (t["bond_k"][tid] != 0.0).astype(np.float32)
         live_a = (t["angle_k"][tid] != 0.0).astype(np.float32)
         live_d = (t["dih_k"][tid] != 0.0).astype(np.float32)
+        # Mosaic has no atan2/sin lowering; the kernel computes
+        # sin(n*phi - phase) from cos(phi)/sin(phi) by Chebyshev recurrence,
+        # which needs integer periodicities and the phase as (cos, sin)
+        dn = t["dih_n"]
+        assert np.all(dn == np.round(dn)) and np.all(dn <= 6.0), (
+            "dihedral periodicities must be integers <= 6"
+        )
         coef = {
             "bond": plane(NBp, t["bond_k"][tid], t["bond_r0"][tid], live_b),
             "angle": plane(NAp, t["angle_k"][tid], t["angle_t0"][tid], live_a),
             "dih": plane(
-                NDp, t["dih_k"][tid], t["dih_n"][tid], t["dih_phase"][tid],
+                NDp, t["dih_k"][tid], t["dih_n"][tid],
+                np.cos(t["dih_phase"][tid]), np.sin(t["dih_phase"][tid]),
                 live_d,
             ),
             "nb": plane(
@@ -127,6 +135,31 @@ class CapKernelTables:
 
 
 _EPS = 1e-12
+
+
+def _atan_01(x):
+    """arctan for x in [0, 1] (Cephes single-precision polynomial with one
+    range reduction at tan(pi/8); max error ~1e-7 rad).  Mosaic lowers no
+    inverse-trig primitives, so the kernel carries its own."""
+    big = x > 0.4142135623730951
+    xr = jnp.where(big, (x - 1.0) / (x + 1.0), x)
+    z = xr * xr
+    p = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1)
+        * z
+        - 3.33329491539e-1
+    ) * z * xr + xr
+    return jnp.where(big, p + 0.7853981633974483, p)
+
+
+def _atan2_upper(y, x):
+    """atan2(y, x) for y >= 0: result in [0, pi]."""
+    ax = jnp.abs(x)
+    mx = jnp.maximum(y, ax)
+    mn = jnp.minimum(y, ax)
+    t = _atan_01(mn / jnp.maximum(mx, _EPS))
+    t = jnp.where(y > ax, 1.5707963267948966 - t, t)
+    return jnp.where(x < 0.0, 3.141592653589793 - t, t)
 
 
 def _kernel(pos_ref, sb_i, sb_j, sa_i, sa_j, sa_k, sd_0, sd_1, sd_2, sd_3,
@@ -183,7 +216,7 @@ def _kernel(pos_ref, sb_i, sb_j, sa_i, sa_j, sa_k, sd_0, sd_1, sd_2, sd_3,
     c2 = dot3(w, w)
     c = jnp.sqrt(jnp.maximum(c2, _EPS))
     dt = dot3(u, v)
-    theta = jnp.arctan2(c, dt)
+    theta = _atan2_upper(c, dt)
     denom = jnp.maximum(dot3(u, u) * dot3(v, v), _EPS)
     live = ca[0][2:3]
     dEdth = jnp.where(live > 0.0, ca[0][0:1] * (theta - ca[0][1:2]), 0.0)
@@ -217,10 +250,26 @@ def _kernel(pos_ref, sb_i, sb_j, sa_i, sa_j, sa_k, sd_0, sd_1, sd_2, sd_3,
     b2l = jnp.sqrt(jnp.maximum(dot3(b2, b2), _EPS))
     y_std = dot3(cross(m, b2), nn)
     x_std = dot3(m, nn) * b2l
-    phi = jnp.arctan2(-y_std, x_std)
-    kd, nd, phase, live = cd[0][0:1], cd[0][1:2], cd[0][2:3], cd[0][3:4]
+    kd, nd = cd[0][0:1], cd[0][1:2]
+    cps, sps, live = cd[0][2:3], cd[0][3:4], cd[0][4:5]
+    # sin(n*phi - phase) without inverse trig: cos(phi) = x/r,
+    # sin(phi) = -y/r (phi = atan2(-y, x)); n*phi multiples by Chebyshev
+    # recurrence, phase folded via precomputed (cos, sin) planes
+    rphi = jnp.sqrt(jnp.maximum(y_std * y_std + x_std * x_std, _EPS))
+    cphi = x_std / rphi
+    sphi = -y_std / rphi
+    ck, sk = cphi, sphi
+    cos_n = jnp.ones_like(cphi)
+    sin_n = jnp.zeros_like(sphi)
+    for kk in range(1, 7):
+        hit = nd == float(kk)
+        cos_n = jnp.where(hit, ck, cos_n)
+        sin_n = jnp.where(hit, sk, sin_n)
+        if kk < 6:
+            ck, sk = ck * cphi - sk * sphi, sk * cphi + ck * sphi
+    sin_nphi_minus_phase = sin_n * cps - cos_n * sps
     dEdphi = jnp.where(
-        live > 0.0, -0.5 * kd * nd * jnp.sin(nd * phi - phase), 0.0
+        live > 0.0, -0.5 * kd * nd * sin_nphi_minus_phase, 0.0
     )
     dp0 = m * bc(-b2l / m2)
     dp3 = nn * bc(b2l / n2)

@@ -50,6 +50,9 @@ def main():
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
+
+    pin_jax_platforms()
     from __graft_entry__ import _chig_protein
     from ai2bmd_tpu.md import langevin as L
     from ai2bmd_tpu.models import visnet as V

@@ -36,13 +36,9 @@ def main():
     from ai2bmd_tpu.models import visnet as V
     from ai2bmd_tpu.potentials import FragmentPotential
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # env alone does not stop out-of-tree platform plugins from
-        # initializing (a dead TPU tunnel then errors/hangs); pin it
-        plats = os.environ["JAX_PLATFORMS"]
-        if "cpu" not in plats.split(","):
-            plats += ",cpu"  # keep host cpu backend for param init
-        jax.config.update("jax_platforms", plats)
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
+
+    pin_jax_platforms()
     jax.config.update("jax_default_matmul_precision", "float32")
     prot = _chig_protein()
     cfg = V.ViSNetConfig()

@@ -35,7 +35,7 @@ PROTEINS = {
 
 
 def bench_one(name: str, path: str, steps: int, precision: str = "float32",
-              preset: str = "prod"):
+              preset: str = "prod", warm_iters: int | None = None):
     """Runs at the requested matmul precision (default float32, the fidelity
     mode bench.py reports; pass --precision default for TPU bf16 passes).
     Every output line carries its precision so results stay comparable."""
@@ -50,17 +50,14 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
     from ai2bmd_tpu.potentials import FragmentPotential
     from ai2bmd_tpu.system import Protein
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # env alone does not stop out-of-tree platform plugins from
-        # initializing (a dead TPU tunnel then errors/hangs); pin it.
-        # Always keep the host cpu backend alongside: params are built on
-        # it, and pinning e.g. "axon" alone would unregister it.
-        plats = os.environ["JAX_PLATFORMS"]
-        if "cpu" not in plats.split(","):
-            plats += ",cpu"
-        jax.config.update("jax_platforms", plats)
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
+
+    pin_jax_platforms()
     if precision != "default":
         jax.config.update("jax_default_matmul_precision", precision)
+
+    if warm_iters is None:
+        warm_iters = 1  # production default (bench.py, ROADMAP warm-1)
 
     atoms = normalize_atom_order(read_pdb(path))
     full = Protein.from_atoms(atoms)
@@ -101,7 +98,9 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
         mm_backend = "amoeba" if name.endswith("amoeba") else "ff19sb"
         qmmm = QMMMPotential.build(
             atoms,
-            qm_stateful=lambda Pq, qa: pot.stateful_energy_forces(Pq, qa, 4),
+            qm_stateful=lambda Pq, qa: pot.stateful_energy_forces(
+                Pq, qa, warm_iters
+            ),
             qm_init_aux=qm_aux0,
             mm_backend=mm_backend,
         )
@@ -134,8 +133,19 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
         init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
         masses, P0 = full.masses, full.positions
     else:
+        # Vacuum fragment mode gets the same random-weight stabilizer as
+        # the solvated configs: full-strength random ViSNet forces blew the
+        # trpcage trajectory up mid-sweep (SWEEP_r04 finite=false), and a
+        # non-finite trajectory measures denormal/NaN propagation, not the
+        # production step.  Cost is weight-independent; reported as
+        # qm_forces=zeroed.
+        params = dict(params)
+        params["std"] = params["std"] * 1e-30
+        params["atomref"] = params["atomref"] * 1e-30
         pot = FragmentPotential.build(full, params, cfg, longrange="mm")
-        potential = lambda P, aux: pot.stateful_energy_forces(P, aux, 4)
+        potential = lambda P, aux: pot.stateful_energy_forces(
+            P, aux, warm_iters
+        )
         init_aux = pot.init_cap_delta(jnp.asarray(full.positions, jnp.float32))
         masses, P0 = full.masses, full.positions
 
@@ -172,13 +182,13 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
         "ms_per_step": round(1e3 * per_step, 3),
         "ns_day": round(86.4 / per_step / 1e3, 3),
         "compile_s": round(compile_s, 1),
+        "warm_iters": warm_iters,
         "finite": bool(np.all(np.isfinite(np.asarray(state.positions)))),
     }
-    if solvated:
-        out["qm_forces"] = (
-            "zeroed output head (random weights destabilize the solvated "
-            "box; QM compute cost is weight-independent)"
-        )
+    out["qm_forces"] = (
+        "zeroed output head (random weights destabilize the trajectory; "
+        "QM compute cost is weight-independent)"
+    )
     if preset != "prod":
         out["preset"] = preset + " (path validation, not a benchmark)"
     return out
@@ -197,13 +207,18 @@ def main():
         "--preset", type=str, default="prod", choices=["prod", "tiny"],
         help="tiny = CPU path-validation model, never a reportable number",
     )
+    ap.add_argument(
+        "--warm-iters", type=int, default=None,
+        help="cap L-BFGS iterations per step (default 1, the production "
+             "warm-start config; rounds <=3 measured 4)",
+    )
     args = ap.parse_args()
     for name in args.configs.split(","):
         print(
             json.dumps(
                 bench_one(
                     name, PROTEINS[name], args.steps, args.precision,
-                    args.preset,
+                    args.preset, args.warm_iters,
                 )
             ),
             flush=True,

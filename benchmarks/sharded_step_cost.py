@@ -39,11 +39,9 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        plats = os.environ["JAX_PLATFORMS"]
-        if "cpu" not in plats.split(","):
-            plats += ",cpu"  # keep host cpu backend for param init
-        jax.config.update("jax_platforms", plats)
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
+
+    pin_jax_platforms()
     import jax.numpy as jnp
     import numpy as np
 

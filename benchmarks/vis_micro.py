@@ -53,7 +53,9 @@ def main():
     from ai2bmd_tpu.frag import hydrogen as H
     from ai2bmd_tpu.frag.runtime import FragmentRuntime, build_row_positions
     from ai2bmd_tpu.models import visnet as V
+    from ai2bmd_tpu.utils.platforms import pin_jax_platforms
 
+    pin_jax_platforms()
     jax.config.update("jax_default_matmul_precision", "highest")
 
     prot = _chig_protein()
