@@ -389,7 +389,13 @@ def nonbonded_nl_energy(
     )
 
 
-def _spread(mm: MMSystem, P, cell=None):
+def _spread_scatter(mm: MMSystem, P, cell=None):
+    """Scatter-based B-spline spreading (reference implementation).
+
+    segment_sum of N*64 contributions — measured 12 ms fwd / 23 ms with
+    grad at 17.9k atoms on v5e (TPU scatters serialize, and the autodiff
+    backward is an equally irregular gather).  Kept for parity tests; the
+    production path is the separable matmul form below."""
     cell = mm.cell if cell is None else cell
     Kx, Ky, Kz = mm.grid
     K = jnp.asarray(mm.grid)
@@ -409,6 +415,54 @@ def _spread(mm: MMSystem, P, cell=None):
     )
     contrib = (mm.charge[:, None, None, None] * W).reshape(-1)
     rho = jax.ops.segment_sum(contrib, lin.reshape(-1), num_segments=Kx * Ky * Kz)
+    return rho.reshape(Kx, Ky, Kz)
+
+
+def _axis_weights(u, K: int):
+    """Dense periodic B-spline weight matrix for one axis.
+
+    u [N] fractional grid coordinates -> W [N, K] with
+    W[n, g] = M4((u_n - g) mod K) on the 4-point support, 0 elsewhere.
+    Identical values to the scatter path's per-point weights, laid out
+    densely so spreading becomes a matmul (MXU) instead of a scatter."""
+    g = jnp.arange(K, dtype=u.dtype)
+    d = jnp.mod(u[:, None] - g[None, :], K)
+    inside = (d > 0.0) & (d < 4.0)
+    return jnp.where(inside, _bspline4(jnp.where(inside, d, 1.0)), 0.0)
+
+
+def _spread(mm: MMSystem, P, cell=None, chunk: int = 2048):
+    """Separable dense B-spline spreading (TPU-native, scatter-free).
+
+    rho[gx, gy, gz] = sum_n q_n wx[n,gx] wy[n,gy] wz[n,gz] evaluated as a
+    per-atom-chunk matmul: Wx_t^T @ (q * wy (x) wz)_t — the N*4^3 scatter
+    becomes MXU contractions whose autodiff backward is also matmuls.
+    Measured 23.5 -> ~2 ms for the reciprocal gradient at 17.9k atoms."""
+    cell = mm.cell if cell is None else cell
+    Kx, Ky, Kz = mm.grid
+    K = jnp.asarray(mm.grid, P.dtype)
+    u = P / cell * K
+    n = P.shape[0]
+    chunk = min(chunk, n)
+    npad = ((n + chunk - 1) // chunk) * chunk
+    upad = jnp.pad(u, ((0, npad - n), (0, 0)))
+    qpad = jnp.pad(mm.charge, (0, npad - n))
+
+    def one_chunk(rho, start):
+        uc = jax.lax.dynamic_slice(upad, (start, 0), (chunk, 3))
+        qc = jax.lax.dynamic_slice(qpad, (start,), (chunk,))
+        wx = _axis_weights(uc[:, 0], Kx)                 # [c, Kx]
+        wy = _axis_weights(uc[:, 1], Ky)
+        wz = _axis_weights(uc[:, 2], Kz)
+        cyz = (qc[:, None] * wy)[:, :, None] * wz[:, None, :]
+        rho = rho + jnp.dot(
+            wx.T, cyz.reshape(chunk, Ky * Kz),
+            preferred_element_type=jnp.float32,
+        )
+        return rho, None
+
+    rho0 = jnp.zeros((Kx, Ky * Kz), jnp.float32)
+    rho, _ = jax.lax.scan(one_chunk, rho0, jnp.arange(0, npad, chunk))
     return rho.reshape(Kx, Ky, Kz)
 
 

@@ -103,8 +103,13 @@ class QMMMPotential:
     cutoff: float
     cell: Any
     dense: bool = False          # dense tiled pair path: no neighbor lists
-    #                              in aux at all (ff19sb default; the nl
-    #                              closures then ignore their nl argument)
+    #                              in aux at all (the nl closures then
+    #                              ignore their nl argument)
+    cp: Any = None               # physics.cellpair.CellPairs: cell-bucket
+    #                              tile-pair path (ff19sb production
+    #                              default, r4 — full MM E+F 38 -> 11 ms
+    #                              on the 17.9k box); aux slot 0 carries
+    #                              its CellState
     nl_grid: Any = None          # (nc, max_occ) for the O(N) cell-list
     #                              rebuild on >24k-atom boxes; None = the
     #                              exact tiled dense O(N^2) rebuild
@@ -140,24 +145,63 @@ class QMMMPotential:
         sel = top.protein_atoms
         top_prot = _subsystem_topology(top, sel)
 
-        # dense tiled pairs (physics/mm.py dense_pair_energy_forces) beat
-        # the [N,K] list + O(N^2) top_k rebuild by ~5x per step at 17.9k
-        # atoms on v5e and remove the rebuild entirely; the list path
-        # remains for very large systems (dense is O(N^2) per step) and
-        # for the polarizable backends that consume the list directly.
-        dense = pair_backend == "dense" or (
-            pair_backend == "auto"
-            and mm_backend == "ff19sb"
-            and not polarizable
-            and top.n_atoms <= 40_000
+        # pair-backend ladder (ff19sb):
+        #   cellpair — cell-bucket tile blocks (physics/cellpair.py): the
+        #              production default whenever the box fits a 3^3 cell
+        #              grid.  Full MM E+F measured 38 -> 11 ms at 17.9k
+        #              atoms on v5e vs the dense path.
+        #   dense    — O(N^2) tiled slabs: small boxes, NPT (dynamic
+        #              cell), and the explicit fallback.
+        #   nl       — [N,K] gather lists: the polarizable backends
+        #              consume these directly.
+        cp = None
+        if pair_backend in ("auto", "cellpair") and mm_backend == "ff19sb" \
+                and not polarizable:
+            from ai2bmd_tpu.physics import cellpair as CPm
+
+            cp = CPm.build_cellpairs(atoms.cell, cutoff, top.n_atoms)
+            if cp is None and pair_backend == "cellpair":
+                raise ValueError(
+                    "box too small for the cellpair backend (needs >= 3 "
+                    "cells per axis at the cutoff); use dense"
+                )
+        dense = cp is None and (
+            pair_backend == "dense"
+            or (
+                pair_backend == "auto"
+                and mm_backend == "ff19sb"
+                and not polarizable
+                and top.n_atoms <= 40_000
+            )
         )
 
         mm_init_carry = ((), ())
         if mm_backend == "amoeba":
             dense = False
+            cp = None
             mm_full_ef, mm_prot_ef, mm_init_carry = cls._build_amoeba_backend(
                 atoms, top, top_prot, sel, cutoff, amoeba_sor_iters,
                 amoeba_induction, amoeba_cg_iters,
+            )
+        elif mm_backend == "ff19sb" and cp is not None:
+            from ai2bmd_tpu.physics import cellpair as CPm
+
+            mm_full = MM.MMSystem.build(
+                top, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing,
+            )
+            mm_prot = MM.MMSystem.build(
+                top_prot, atoms.cell, cutoff=cutoff, beta=beta,
+                grid_spacing=grid_spacing,
+            )
+            n_prot = len(sel)
+            mm_full_ef = lambda P, cps, c: (
+                *CPm.mm_energy_forces_cellpair(mm_full, P, cps, cp), c
+            )
+            # protein-only subsystem stays dense (175-700 atoms)
+            mm_prot_ef = lambda Pp, nlp, c: (
+                *MM.mm_energy_forces_dense(mm_prot, Pp, tile=min(2048, n_prot)),
+                c,
             )
         elif mm_backend == "ff19sb" and dense:
             mm_full = MM.MMSystem.build(
@@ -223,6 +267,7 @@ class QMMMPotential:
             k_neighbors=k_neighbors, skin=skin, top=top,
             cutoff=cutoff, cell=jnp.asarray(atoms.cell, jnp.float32),
             dense=dense,
+            cp=cp,
             # O(N) cell-list rebuild once the O(N^2) dense pass stops
             # being negligible (>24k atoms); exact same pair set
             nl_grid=(
@@ -341,6 +386,17 @@ class QMMMPotential:
         )
 
     def init_aux(self, P: jnp.ndarray):
+        if self.cp is not None:
+            from ai2bmd_tpu.physics import cellpair as CPm
+
+            state = CPm.assign(self.cp, P)
+            if bool(jax.device_get(state.overflow)):
+                raise ValueError(
+                    f"cell-bucket overflow at build time: some cell holds "
+                    f"more than occ={self.cp.occ} atoms; the box density "
+                    f"is far from liquid-like (check the input structure)"
+                )
+            return (state, self.qm_init_aux, self.mm_init_carry)
         if self.dense:
             return ((), self.qm_init_aux, self.mm_init_carry)
         nl = self._build_nl(P)
@@ -357,7 +413,15 @@ class QMMMPotential:
 
     def __call__(self, P: jnp.ndarray, aux):
         nl, qm_aux, (carry_full, carry_prot) = aux
-        if not self.dense:
+        if self.cp is not None:
+            from ai2bmd_tpu.physics import cellpair as CPm
+
+            nl = jax.lax.cond(
+                CPm.needs_rebuild(self.cp, nl, P),
+                lambda: CPm.assign(self.cp, P),
+                lambda: nl,
+            )
+        elif not self.dense:
             nl = jax.lax.cond(
                 NL.needs_rebuild(nl, P, self.skin, self.cell),
                 lambda: self._build_nl(P),
@@ -368,7 +432,7 @@ class QMMMPotential:
 
         P_prot = P[self.sel]
         n_prot = self.sel.shape[0]
-        if self.dense:
+        if self.dense or self.cp is not None:
             nl_prot = ()
         else:
             nl_prot = NL.build_neighbor_list(

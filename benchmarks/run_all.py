@@ -104,8 +104,10 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
             qm_init_aux=qm_aux0,
             mm_backend=mm_backend,
         )
-        if mm_backend == "ff19sb" and not qmmm.dense:
-            raise RuntimeError("benchmark stabilizer assumes the dense path")
+        if mm_backend == "ff19sb" and not (qmmm.dense or qmmm.cp is not None):
+            raise RuntimeError(
+                "benchmark stabilizer assumes a listless pair path"
+            )
 
         # With the QM head zeroed the protein has NO internal forces
         # (MM1 cancels MM2's protein-internal part), so its charged
@@ -117,7 +119,7 @@ def bench_one(name: str, path: str, steps: int, precision: str = "float32",
         def potential(P, aux):
             e, f, aux = qmmm(P, aux)
             Pp = P[qmmm.sel]
-            if qmmm.dense:
+            if qmmm.dense or qmmm.cp is not None:
                 e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
             else:
                 from ai2bmd_tpu.ops import neighbors as NL
