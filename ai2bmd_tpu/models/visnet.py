@@ -81,6 +81,16 @@ class ViSNetConfig:
     # Requires exact_rejection=False and A % 8 == 0 (falls back otherwise).
     fused_interpret: bool = False   # run the kernels in interpreter mode
     #                                 (CPU correctness tests only)
+    fused_layer: bool = False
+    # fused_layer=True runs each COMPLETE ViS-MP layer (node projections,
+    # edge core, edge update, node update, residual adds) as one Pallas
+    # kernel pair with a recompute-mode hand VJP (ops/pallas/vislayer.py):
+    # no saved-activation stash, no XLA-side projection residuals, the
+    # vector stream stays sphere-major across the stack.  Production
+    # default on TPU (r4); takes precedence over `fused` when its
+    # conditions hold (silu, vecnorm none, f32, A % 8 == 0), falls back
+    # otherwise.  Weight gradients zero by design, like `fused`.
+    fused_layer_interpret: bool = False
 
     @property
     def n_sphere(self) -> int:
@@ -88,20 +98,34 @@ class ViSNetConfig:
 
 
 def resolve_config(cfg: ViSNetConfig) -> ViSNetConfig:
-    """Enable the fused Pallas path automatically on TPU backends.
+    """Enable the fused Pallas paths automatically on TPU backends.
 
     The fused kernels are Mosaic-only; CPU runs (tests, multichip dryruns)
-    keep the pure-jnp path.  No-op if the caller already set cfg.fused.
+    keep the pure-jnp path.  On TPU the full-layer kernels
+    (ops/pallas/vislayer.py) are the production default; set
+    AI2BMD_FUSED_LAYER=0 to fall back to the round-3 edge-core kernels.
+    No-op if the caller already set cfg.fused / cfg.fused_layer.
     """
+    import os
+
     import jax
 
-    if cfg.fused or cfg.fused_interpret:
+    if cfg.fused or cfg.fused_interpret or cfg.fused_layer or cfg.fused_layer_interpret:
+        return cfg
+    if os.environ.get("AI2BMD_FUSED") == "0":
+        # pure-jnp oracle mode (fidelity measurements): no Pallas kernels
         return cfg
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except RuntimeError:
         on_tpu = False
-    return dataclasses.replace(cfg, fused=on_tpu)
+    # The full-layer kernels measured ~5-10% SLOWER than the per-layer
+    # edge-core kernels on chip (r4): the per-layer path is already near
+    # the combined MXU+VPU roofline, and the recompute-mode backward adds
+    # MXU passes that outweigh the stash traffic it avoids (which the
+    # pipeline hides).  Kept as an opt-in experiment.
+    full_layer = on_tpu and os.environ.get("AI2BMD_FUSED_LAYER") == "1"
+    return dataclasses.replace(cfg, fused=on_tpu, fused_layer=full_layer)
 
 
 def _act(name: str):
@@ -471,6 +495,38 @@ def representation(params, z, pos, mask, cfg: ViSNetConfig):
     ee = params["edge_embedding"]
     edge_attr = (x[:, :, None, :] + x[:, None, :, :]) * _linear(ee["edge_proj"], edge_rbf)
     edge_attr = edge_attr * adj_f[..., None]
+
+    use_full_layer = (
+        (cfg.fused_layer or cfg.fused_layer_interpret)
+        and not cfg.exact_rejection
+        and A % 8 == 0
+        and cfg.vecnorm_type == "none"
+        and cfg.edge_dtype is None
+        and cfg.activation in ("silu", "swish")
+        and cfg.attn_activation in ("silu", "swish")
+    )
+    if use_full_layer:
+        from ai2bmd_tpu.ops.pallas import vislayer as FL
+
+        H = cfg.hidden_channels
+        vec_sm = jnp.zeros((B, cfg.n_sphere, A, H), cfg.dtype)
+        dsh_sm = jnp.transpose(d_sh, (0, 3, 1, 2))
+        for li, lp in enumerate(params["layers"]):
+            last = li == cfg.num_layers - 1
+            op = FL.fused_layer(
+                cfg.cutoff, cfg.num_heads, last,
+                interpret=cfg.fused_layer_interpret,
+            )
+            w = FL.layer_weights(lp, H, cfg.num_heads, last, cfg.dtype)
+            x, vec_sm, edge_attr = op(
+                x, vec_sm, edge_attr, dsh_sm, dist, adj_f, *w
+            )
+        x = layer_norm(params["out_norm"], x)
+        vec = vec_layer_norm(
+            params["vec_out_norm"], jnp.transpose(vec_sm, (0, 2, 1, 3)),
+            cfg.vecnorm_type, cfg.lmax,
+        )
+        return x, vec
 
     vec = jnp.zeros((B, A, cfg.n_sphere, cfg.hidden_channels), cfg.dtype)
 
