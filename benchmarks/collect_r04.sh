@@ -36,5 +36,10 @@ run 3600 sweep_ww        python benchmarks/run_all.py --configs ww --steps 200
 run 3600 sweep_abd       python benchmarks/run_all.py --configs abd --steps 200
 run 5400 sweep_solvated  python benchmarks/run_all.py --configs chig-solvated --steps 100
 run 5400 sweep_amoeba    python benchmarks/run_all.py --configs chig-solvated-amoeba --steps 20
+run 3600 ensemble64      python benchmarks/ensemble.py --replicas 64 --steps 20
+run 3600 fidelity_chig   python benchmarks/fidelity.py --configs chig --md-steps 50
+run 3600 fidelity_trpcage python benchmarks/fidelity.py --configs trpcage --md-steps 50
+run 3600 fidelity_ww     python benchmarks/fidelity.py --configs ww --md-steps 50
+run 3600 fidelity_abd    python benchmarks/fidelity.py --configs abd --md-steps 50
 echo "DONE" >&2
 cat "$OUT"

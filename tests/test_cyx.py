@@ -58,6 +58,47 @@ def test_cyx_stitch_coverage():
     assert np.all(counts == 1)
 
 
+def test_cyx_md_end_to_end(tmp_path):
+    """100 MD steps through the merged 44-atom CYX row, end-to-end via the
+    public simulator API (VERDICT r3 item 6): the merged-row fragment path
+    must carry a real trajectory, not just single evaluations.  Reference
+    production chemistry: src/Fragmentation/distancefrag.py:189-240."""
+    from ai2bmd_tpu.io.pdb import write_pdb
+    from ai2bmd_tpu.md.simulation import SimulationConfig
+    from ai2bmd_tpu.simulators import ProteinSimulation
+
+    atoms = _cyx_atoms()
+    pdb = str(tmp_path / "cyx.pdb")
+    write_pdb(pdb, atoms)
+    sim = ProteinSimulation.from_pdb(
+        pdb,
+        log_dir=str(tmp_path / "logs"),
+        mode="fragment",
+        longrange="mm",
+        model_cfg=TINY,
+        sim_cfg=SimulationConfig(
+            # random-init weights give unphysical-but-bounded forces; a short
+            # timestep keeps 100 steps integrable (25 fs total, cf.
+            # test_end_to_end.py bounds) while still driving 100 distinct
+            # merged-row fragment evaluations
+            timestep_fs=0.25,
+            record_per_steps=50,
+            preeq_steps=0,
+            runaway_factor=1e9,
+            seed=0,
+        ),
+        opt_iters=2,
+    )
+    # the trajectory actually crosses the merged row
+    assert "CYX" in sim.potential.fi.row_type
+    state = sim.simulate(100, log=lambda *_: None)
+    assert int(state.step) == 100
+    pos = np.asarray(state.positions)
+    assert np.all(np.isfinite(pos))
+    d = np.linalg.norm(pos - sim.prot.positions, axis=-1)
+    assert d.max() < 20.0, f"atom moved {d.max():.2f} A in 25 fs"
+
+
 @pytest.mark.slow
 def test_cyx_forces_finite():
     atoms = _cyx_atoms()
