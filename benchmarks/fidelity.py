@@ -138,18 +138,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default="chig,trpcage,ww,abd")
     ap.add_argument("--md-steps", type=int, default=50)
+    ap.add_argument(
+        "--xla-precision", type=str, default="float32",
+        help="XLA matmul precision of the PRODUCTION stack under test "
+             "(the oracle always runs at 'highest'); e.g. 'high' measures "
+             "the 3-pass-bf16 XLA mode against the full-f32 oracle",
+    )
     args = ap.parse_args()
     from ai2bmd_tpu.utils.platforms import pin_jax_platforms
 
     pin_jax_platforms()
     import jax
 
-    jax.config.update("jax_default_matmul_precision", "float32")
+    jax.config.update("jax_default_matmul_precision", args.xla_precision)
     for name in args.configs.split(","):
-        print(
-            json.dumps(fidelity_one(name, example_pdb(name), args.md_steps)),
-            flush=True,
-        )
+        d = fidelity_one(name, example_pdb(name), args.md_steps)
+        d["xla_precision"] = args.xla_precision
+        print(json.dumps(d), flush=True)
 
 
 if __name__ == "__main__":
