@@ -86,10 +86,12 @@ class ViSNetConfig:
     # edge core, edge update, node update, residual adds) as one Pallas
     # kernel pair with a recompute-mode hand VJP (ops/pallas/vislayer.py):
     # no saved-activation stash, no XLA-side projection residuals, the
-    # vector stream stays sphere-major across the stack.  Production
-    # default on TPU (r4); takes precedence over `fused` when its
-    # conditions hold (silu, vecnorm none, f32, A % 8 == 0), falls back
-    # otherwise.  Weight gradients zero by design, like `fused`.
+    # vector stream stays sphere-major across the stack.  Measured ~5-10%
+    # slower than the edge-core kernels on chip (r4), so it stays an
+    # opt-in experiment (AI2BMD_FUSED_LAYER=1); takes precedence over
+    # `fused` when its conditions hold (silu, vecnorm none, f32,
+    # A % 8 == 0), falls back otherwise.  Weight gradients zero by
+    # design, like `fused`.
     fused_layer_interpret: bool = False
 
     @property

@@ -505,7 +505,15 @@ class AmoebaPeriodicSystem:
         the minimizer moves little, so a warm start reaches a given
         residual in ~half the iterations of a cold start (measured in
         tests/test_amoeba_induction.py).  m0 is stop_gradient'd — it is
-        previous-step state, not a function of the current positions."""
+        previous-step state, not a function of the current positions.
+
+        The solve is Jacobi-preconditioned: the Hessian of F is
+        diag(1/alpha) + T, whose diagonal is dominated by the 1/alpha
+        term (alpha spans ~0.5-1.3 A^3 across AMOEBA types), so
+        M^-1 = diag(alpha) — Tinker's default 'diagonal' induction
+        preconditioner — cuts the residual per iteration materially at
+        the cost of one elementwise multiply (measured in
+        tests/test_amoeba_induction.py::test_pcg_beats_cg)."""
         F, alpha, pcorr = self._induction_functional(P, nl)
         gradF = jax.grad(F)
         zeros = jnp.zeros((self.n_atoms, 3), P.dtype)
@@ -517,25 +525,28 @@ class AmoebaPeriodicSystem:
             m0 = zeros
         else:
             m0 = jax.lax.stop_gradient(m0.astype(P.dtype))
+        prec = alpha[:, None]                     # M^-1 = diag(alpha)
 
         @jax.checkpoint
         def body(carry, _):
             # rematerialized: storing every iteration's hvp residuals for
             # the backward pass OOMs the 17.9k-atom box by ~400 MB
-            m, r_, p_ = carry
+            m, r_, z_, p_ = carry
             Ap = hvp(p_)
             denom = jnp.sum(p_ * Ap)
-            a = jnp.where(jnp.abs(denom) > 1e-30,
-                          jnp.sum(r_ * r_) / denom, 0.0)
+            rz = jnp.sum(r_ * z_)
+            a = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
             m_new = m + a * p_
             r_new = r_ - a * Ap
-            b = jnp.where(jnp.sum(r_ * r_) > 1e-30,
-                          jnp.sum(r_new * r_new) / jnp.sum(r_ * r_), 0.0)
-            return (m_new, r_new, r_new + b * p_), None
+            z_new = prec * r_new
+            b = jnp.where(jnp.abs(rz) > 1e-30,
+                          jnp.sum(r_new * z_new) / rz, 0.0)
+            return (m_new, r_new, z_new, z_new + b * p_), None
 
         r0 = -g0 - hvp(m0)
-        (m, _, _), _ = jax.lax.scan(
-            body, (m0, r0, r0), None, length=cg_iters
+        z0 = prec * r0
+        (m, _, _, _), _ = jax.lax.scan(
+            body, (m0, r0, z0, z0), None, length=cg_iters
         )
         return m, F(m) + pcorr(m)
 

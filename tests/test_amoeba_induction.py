@@ -131,3 +131,47 @@ def test_warm_start_cuts_cg_budget(box64):
     e_b = sys_.energy_ewald_induction(P1, nl1, cg_iters=5, m0=m_prev)
     np.testing.assert_allclose(float(e_a), float(e_b), rtol=1e-12)
     assert m_out.shape == m_ref.shape
+
+
+@pytest.mark.slow
+def test_pcg_beats_cg(box64):
+    """The production solve is Jacobi-preconditioned (M^-1 = diag(alpha),
+    Tinker's 'diagonal' induction preconditioner).  At equal iteration
+    budget it must beat unpreconditioned CG on the same quadratic, and
+    both must agree at convergence."""
+    cell, P, asg, nw = box64
+    sys_ = AmoebaPeriodicSystem.build(
+        asg, cell, cutoff=5.0, beta=0.55, grid_spacing=0.6,
+        dtype=jnp.float64,
+    )
+    Pj = jnp.asarray(P)
+    nl = sys_.neighbor_list(Pj, k_max=190)
+    m_ref, f_ref = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=40)
+
+    # plain CG on the identical quadratic (the pre-r4 production solver)
+    F, _alpha, _pcorr = sys_._induction_functional(Pj, nl)
+    g0, hvp = jax.linearize(jax.grad(F), jnp.zeros_like(m_ref))
+
+    def plain_cg(k):
+        m = jnp.zeros_like(m_ref)
+        r = -g0
+        p = r
+        for _ in range(k):
+            Ap = hvp(p)
+            a = jnp.sum(r * r) / jnp.sum(p * Ap)
+            m = m + a * p
+            r_new = r - a * Ap
+            b = jnp.sum(r_new * r_new) / jnp.sum(r * r)
+            r, p = r_new, r_new + b * p
+        return m
+
+    for k in (4, 6):
+        err_cg = float(jnp.abs(plain_cg(k) - m_ref).max())
+        m_pcg, _ = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=k)
+        err_pcg = float(jnp.abs(m_pcg - m_ref).max())
+        assert err_pcg < err_cg, (k, err_pcg, err_cg)
+
+    # converged energies agree (same fixed point regardless of M)
+    f_cg20 = F(plain_cg(20))
+    m_pcg20, f_pcg20_full = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=20)
+    np.testing.assert_allclose(float(F(m_pcg20)), float(f_cg20), rtol=1e-9)
