@@ -31,6 +31,15 @@ from ai2bmd_tpu.frag.indexer import ACENME_Z, FragmentIndex
 from ai2bmd_tpu.frag.topology import build_type_topology
 from ai2bmd_tpu.models import visnet as V
 
+# Dipeptide size-bucket widths (the row slot count S is always appended).
+# Multiples of 8 only: Mosaic requires the fused edge kernels' center-atom
+# tile (blocked second-to-minor dim) to be a multiple of 8, so finer
+# widths (20/28/36, ~1.15x fewer edge cells) cannot lower on TPU — a
+# sub-8 i_tile was tried in r4 and rejected by the Pallas TPU lowering.
+# Shared with the mp-sharded layout (parallel/sharding.py
+# bucket_shard_order).
+BUCKET_WIDTHS = (24, 32)
+
 
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
@@ -71,9 +80,10 @@ class FragmentRuntime:
     # (width, row_idx [r], z [r,width], valid [r,width], dst [r,width],
     #  has_atoms [r]) — dense edge tensors scale with width^2, and the
     # median dipeptide (26 atoms) wastes ~2.4x in a uniform 40-slot batch;
-    # per-size ViSNet calls (24/32/40, all MXU-tileable) cut the edge area
-    # 1.4-1.9x on the bundled proteins.  `valid` is a per-row prefix mask,
-    # so truncating a row to its bucket width drops only parked padding.
+    # per-size ViSNet calls (BUCKET_WIDTHS + S, all MXU-tileable) cut the
+    # edge area 1.4-1.9x on the bundled proteins.  `valid` is a per-row
+    # prefix mask, so truncating a row to its bucket width drops only
+    # parked padding.
     dip_buckets: Any = None
 
     @classmethod
@@ -125,9 +135,8 @@ class FragmentRuntime:
         ).astype(np.float32)
 
         # size buckets for the dipeptide ViSNet batch (empty rows excluded)
-        widths = [w for w in (24, 32, S) if w <= S]
-        if not widths or widths[-1] != S:
-            widths.append(S)
+        widths = [w for w in BUCKET_WIDTHS if w < S]
+        widths.append(S)
         buckets = []
         natom = fi.row_natom
         lo = 0

@@ -377,7 +377,11 @@ def vis_mp_layer(lp, x, vec, adj, dist, edge_attr, d_sh, cfg: ViSNetConfig, last
     vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
     vec_dot = jnp.sum(vec1 * vec2, axis=-2)            # [B,A,H]
 
-    # the kernels hardwire silu (the production activation)
+    # the kernels hardwire silu (the production activation).  A % 8 == 0:
+    # Mosaic requires the center-atom tile (the blocked second-to-minor
+    # dim of q/x_agg) to be a multiple of 8, so sub-8 tiles for finer
+    # size buckets do not lower — widths must be multiples of 8
+    # (frag/runtime.py BUCKET_WIDTHS).
     use_fused = (
         cfg.fused and not cfg.exact_rejection and A % 8 == 0
         and cfg.activation in ("silu", "swish")

@@ -45,7 +45,7 @@ from ai2bmd_tpu.system import Protein
 
 
 def bucket_shard_order(
-    fi: FragmentIndex, n_mp: int, widths=(24, 32)
+    fi: FragmentIndex, n_mp: int, widths=None
 ) -> tuple[FragmentIndex, list[tuple[int, int, int]]]:
     """Reorder + pad dipeptide rows for bucketed mp-sharding.
 
@@ -60,6 +60,9 @@ def bucket_shard_order(
     the chain).  Buckets are padded to a multiple of n_mp with empty rows
     (natom 0, masked everywhere).
     """
+    if widths is None:
+        from ai2bmd_tpu.frag.runtime import BUCKET_WIDTHS
+        widths = BUCKET_WIDTHS
     S = fi.slots
     ws = [w for w in widths if w < S] + [S]
     natom = np.asarray(fi.row_natom)

@@ -133,10 +133,14 @@ class QMMMPotential:
         mm_backend: str = "ff19sb",
         amoeba_sor_iters: int = 8,
         amoeba_induction: str = "ewald",   # ewald (meshed field) | sor
-        amoeba_cg_iters: int = 12,         # CG budget per solve; the warm
-        #                                    dipole carry makes 8 match a
-        #                                    cold 10-11 (measured ~+2.5
-        #                                    iters, test_amoeba_induction)
+        amoeba_cg_iters: int = 8,          # CG budget per solve.  The
+        #   solve is warm-started from the previous step's dipoles and
+        #   Jacobi-preconditioned (r4): warm-PCG-8 reaches max|dmu|
+        #   ~1e-6 e*A vs a 60-iter reference on the water test box —
+        #   ~2000x tighter than the reference's production 'polarization
+        #   0.01' (debye) Tinker tolerance (tinker_async.py:127-145) —
+        #   and warm-PCG-4 is still ~25x tighter (measured alongside
+        #   test_amoeba_induction::test_pcg_beats_cg).
         pair_backend: str = "auto",        # dense | nl | auto
     ) -> "QMMMPotential":
         if atoms.cell is None:
