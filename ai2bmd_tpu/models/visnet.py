@@ -103,9 +103,10 @@ def resolve_config(cfg: ViSNetConfig) -> ViSNetConfig:
     """Enable the fused Pallas paths automatically on TPU backends.
 
     The fused kernels are Mosaic-only; CPU runs (tests, multichip dryruns)
-    keep the pure-jnp path.  On TPU the full-layer kernels
-    (ops/pallas/vislayer.py) are the production default; set
-    AI2BMD_FUSED_LAYER=0 to fall back to the round-3 edge-core kernels.
+    keep the pure-jnp path.  On TPU the production default is the per-layer
+    edge-core kernels (ops/pallas/vismp.py, cfg.fused); the full-layer
+    kernels (ops/pallas/vislayer.py) are an opt-in experiment enabled with
+    AI2BMD_FUSED_LAYER=1 (measured ~5-10% slower on chip, r4).
     No-op if the caller already set cfg.fused / cfg.fused_layer.
     """
     import os

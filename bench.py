@@ -121,7 +121,10 @@ def main():
         json.dumps(
             {
                 "metric": "ns/day Chignolin 175-atom fragment-mode MD "
-                          "(ViSNet 9x256 f32, 1 fs, single v5e chip)",
+                          "(ViSNet 9x256 f32, 1 fs, single v5e chip; "
+                          "random init weights — the reference snapshot "
+                          "ships no checkpoint; step cost is "
+                          "weight-independent)",
                 "value": round(ns_day, 3),
                 "unit": "ns/day",
                 "vs_baseline": round(ns_day / BASELINE_NS_DAY, 3),

@@ -146,7 +146,7 @@ def test_pcg_beats_cg(box64):
     )
     Pj = jnp.asarray(P)
     nl = sys_.neighbor_list(Pj, k_max=190)
-    m_ref, f_ref = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=40)
+    m_ref, _ = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=40)
 
     # plain CG on the identical quadratic (the pre-r4 production solver)
     F, _alpha, _pcorr = sys_._induction_functional(Pj, nl)
@@ -173,5 +173,5 @@ def test_pcg_beats_cg(box64):
 
     # converged energies agree (same fixed point regardless of M)
     f_cg20 = F(plain_cg(20))
-    m_pcg20, f_pcg20_full = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=20)
+    m_pcg20, _ = sys_.induced_dipoles_ewald(Pj, nl, cg_iters=20)
     np.testing.assert_allclose(float(F(m_pcg20)), float(f_cg20), rtol=1e-9)
