@@ -1,0 +1,101 @@
+"""End-to-end CLI throughput: the solvated QM/MM flagship THROUGH the
+real user entry point, host IO included.
+
+Runs `python -m ai2bmd_tpu` on the preprocessed solvated Chignolin box
+(examples/chig_preprocessed/chig-preeq.pdb, 17,882 atoms) for --sim-steps
+Langevin steps with DCD recording on, then reads the per-interval
+ms_per_step column of the metrics CSV the simulator writes.  The first
+interval is dropped (it contains the jit compile); the reported number is
+the mean of the remaining intervals — wall-clock per step INCLUDING the
+host frame readback and the async DCD/metrics writes, i.e. what a user
+actually gets.  Compare against the bench-loop figure (sweep_solvated in
+SWEEP_r0x.json): a gap >10% means host IO is not hidden behind device
+work.  Reference flow being matched: /root/reference/src/AIMD/
+simulator.py:110-137 (ASE Langevin loop + MDObserver writes).
+
+Usage: python benchmarks/e2e_cli.py [--sim-steps 1000] [--record 100]
+       [--prot examples/chig_preprocessed/chig-preeq.pdb]
+"""
+
+import argparse
+import csv
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--prot", type=str,
+        default=os.path.join(
+            ROOT, "examples", "chig_preprocessed", "chig-preeq.pdb"
+        ),
+    )
+    ap.add_argument("--sim-steps", type=int, default=1000)
+    ap.add_argument("--record", type=int, default=100)
+    ap.add_argument("--timeout", type=int, default=3000)
+    args = ap.parse_args()
+
+    prot_name = os.path.splitext(os.path.basename(args.prot))[0]
+    with tempfile.TemporaryDirectory(prefix="ai2bmd_e2e_") as log_dir:
+        cmd = [
+            sys.executable, "-m", "ai2bmd_tpu",
+            "--prot-file", args.prot,
+            "--no-preprocess",
+            "--preeq-steps", "0",
+            "--sim-steps", str(args.sim_steps),
+            "--record-per-steps", str(args.record),
+            "--log-dir", log_dir,
+            "--no-constraints",
+        ]
+        env = dict(os.environ)
+        # random init weights (no reference checkpoint ships): damp the
+        # output head so the 1000-step trajectory stays physical; step
+        # cost is weight-independent (same stabilizer as run_all.py)
+        env["AI2BMD_RANDOM_HEAD_SCALE"] = "0.01"
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            cmd, cwd=ROOT, capture_output=True, text=True,
+            timeout=args.timeout, env=env,
+        )
+        wall_s = time.perf_counter() - t0
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-4000:])
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"CLI failed rc={proc.returncode}")
+
+        metrics_path = os.path.join(log_dir, f"{prot_name}-metrics.csv")
+        with open(metrics_path) as f:
+            rows = list(csv.DictReader(f))
+        ms = [float(r["ms_per_step"]) for r in rows]
+        dcd = os.path.join(log_dir, f"{prot_name}-traj.dcd")
+        dcd_bytes = os.path.getsize(dcd) if os.path.exists(dcd) else 0
+
+    if len(ms) < 3:
+        raise SystemExit(f"too few metric intervals ({len(ms)}) to report")
+    steady = ms[1:]                      # first interval contains compile
+    mean_ms = sum(steady) / len(steady)
+    print(json.dumps({
+        "config": f"{prot_name} end-to-end CLI (solvated QM/MM, DCD on)",
+        "n_steps": args.sim_steps,
+        "record_per_steps": args.record,
+        "ms_per_step": round(mean_ms, 3),
+        "ms_per_step_best": round(min(steady), 3),
+        "ms_per_step_worst": round(max(steady), 3),
+        "ns_day": round(86.4 / mean_ms, 3),
+        "first_interval_ms_per_step": round(ms[0], 1),
+        "total_wall_s": round(wall_s, 1),
+        "dcd_bytes": dcd_bytes,
+        "intervals": len(ms),
+        "label": "e2e_cli_solvated",
+    }))
+
+
+if __name__ == "__main__":
+    main()
