@@ -173,8 +173,10 @@ class MultipoleEwaldParams:
 
     @classmethod
     def build(cls, cell, beta: float = 0.4, grid_spacing: float = 0.8):
+        from ai2bmd_tpu.physics.gridutil import smooth_grid
+
         cell = np.asarray(cell, np.float64)
-        grid = tuple(
+        grid = smooth_grid(
             max(int(np.ceil(c / grid_spacing)), 2 * SPLINE_ORDER) for c in cell
         )
         volume = float(np.prod(cell))

@@ -550,6 +550,105 @@ class AmoebaPeriodicSystem:
         )
         return m, F(m) + pcorr(m)
 
+    def induction_variational(self, P, nl: NeighborList,
+                              cg_iters: int = 12, m0_d=None, m0_p=None):
+        """Variational (implicit-gradient) induction: polarization energy
+        whose position gradient is the exact converged-limit force WITHOUT
+        backpropagating through the CG iterations.
+
+        Solves BOTH Tinker fields — A mu_d = E_d (the d-masked field the
+        SCF minimizes against) and A mu_p = E_p (the p-scaled field that
+        defines the energy) — with warm-started Jacobi-PCG under
+        stop_gradient, then evaluates the fixed-dipole scalar
+
+          Phi = 1/2 mu_d.g0 + mu_d.gp + 1/2 mu_p.g0 + 1/2 mu_p.A(mu_d)
+
+        where g0 = gradF(0) = -E_d, gp = grad pcorr = -1/2 (E_p - E_d)
+        and A(.) is the linearized Hessian application — all three carry
+        the position dependence.  Algebraically Phi = -1/2 mu_d^T E_p
+        (AMOEBA's polarization energy) in value AND in x-derivative:
+          dPhi/dx = -1/2[mu_d dE_p/dx + mu_p dE_d/dx - mu_p (dA/dx) mu_d]
+        — the textbook converged-SCF polarization force (Tinker epolar1's
+        uind/uinp structure).  The old path differentiates through the
+        rematerialized CG scan, replaying every Ewald field application
+        ~3x in the backward; here the solver costs forward passes only
+        and the energy term costs one extra Hessian application.
+
+        Returns (mu_d, mu_p, e_pol) with e_pol in e^2/A (multiply by
+        units.COULOMB).
+        """
+        F, alpha, pcorr = self._induction_functional(P, nl)
+        gradF = jax.grad(F)
+        zeros = jnp.zeros((self.n_atoms, 3), P.dtype)
+        g0, hvp = jax.linearize(gradF, zeros)
+        # pcorr is linear in m: its (constant) gradient is -1/2 (E_p - E_d)
+        gp = jax.grad(pcorr)(zeros)
+        b_d = -g0                      # E_d
+        b_p = -g0 - 2.0 * gp           # E_p = E_d - 2 grad pcorr
+        prec = alpha[:, None]
+
+        def pcg(b, x0):
+            def body(carry, _):
+                m, r_, z_, p_ = carry
+                Ap = hvp(p_)
+                denom = jnp.sum(p_ * Ap)
+                rz = jnp.sum(r_ * z_)
+                a = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+                m_new = m + a * p_
+                r_new = r_ - a * Ap
+                z_new = prec * r_new
+                b_ = jnp.where(jnp.abs(rz) > 1e-30,
+                               jnp.sum(r_new * z_new) / rz, 0.0)
+                return (m_new, r_new, z_new, z_new + b_ * p_), None
+
+            r0 = b - hvp(x0)
+            z0 = prec * r0
+            (m, _, _, _), _ = jax.lax.scan(
+                body, (x0, r0, z0, z0), None, length=cg_iters
+            )
+            return m
+
+        def warm(m0):
+            return (zeros if m0 is None
+                    else jax.lax.stop_gradient(m0.astype(P.dtype)))
+
+        m_d = jax.lax.stop_gradient(pcg(b_d, warm(m0_d)))
+        m_p = jax.lax.stop_gradient(pcg(b_p, warm(m0_p)))
+
+        # Quadratic F makes A(m_d) = gradF(m_d) - gradF(0) and
+        # m_d.gp = pcorr(m_d) (pcorr is linear), so
+        #   Phi = 1/2 m_d.g0 + pcorr(m_d) + 1/2 m_p.gradF(m_d).
+        # Rebuilt inside jax.checkpoint over P: the outer force grad
+        # recomputes the functional's pair-geometry residuals instead of
+        # keeping them live next to the solver's (the un-remat'd form
+        # OOM'd the 17.9k-atom box by ~0.8 GB on a 16 GB chip).
+        @jax.checkpoint
+        def phi_fn(P_, m_d_, m_p_):
+            F_, _, pcorr_ = self._induction_functional(P_, nl)
+            gF = jax.grad(F_)
+            return (
+                0.5 * jnp.sum(m_d_ * gF(jnp.zeros_like(m_d_)))
+                + pcorr_(m_d_)
+                + 0.5 * jnp.sum(m_p_ * gF(m_d_))
+            )
+
+        return m_d, m_p, phi_fn(P, m_d, m_p)
+
+    def energy_ewald_variational(self, P, nl: NeighborList, m0_d, m0_p,
+                                 cg_iters: int = 12):
+        """(E, (mu_d, mu_p)) with the variational induction gradient —
+        the production QM/MM AMOEBA path (physics/qmmm.py); the carried
+        dipole pair warm-starts the next step's solves."""
+        m_d, m_p, phi = self.induction_variational(
+            P, nl, cg_iters, m0_d=m0_d, m0_p=m0_p
+        )
+        e = (
+            self.permanent_energy(P, nl)
+            + units.COULOMB * phi
+            + self.vdw_energy(P, nl)
+        )
+        return e, (jax.lax.stop_gradient(m_d), jax.lax.stop_gradient(m_p))
+
     def polarization_energy_ewald(self, P, nl: NeighborList,
                                   cg_iters: int = 12, m0=None):
         """Polarization energy with the full-Ewald interaction: the SCF

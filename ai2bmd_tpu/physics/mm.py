@@ -84,8 +84,12 @@ class MMSystem:
         scnb: float = 2.0,
         polarization=None,
     ) -> "MMSystem":
+        from ai2bmd_tpu.physics.gridutil import smooth_grid
+
         cell = np.asarray(cell, np.float64)
-        grid = tuple(max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell)
+        grid = smooth_grid(
+            max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell
+        )
         volume = float(np.prod(cell))
         ms = [np.fft.fftfreq(K) * K / L for K, L in zip(grid, cell)]
         MX, MY, MZ = np.meshgrid(*ms, indexing="ij")

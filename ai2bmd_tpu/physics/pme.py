@@ -86,8 +86,12 @@ class PMEParams:
     ) -> "PMEParams":
         if prot.cell is None:
             raise ValueError("PME requires a periodic cell (CRYST1 record)")
+        from ai2bmd_tpu.physics.gridutil import smooth_grid
+
         cell = np.asarray(prot.cell, np.float64)
-        grid = tuple(max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell)
+        grid = smooth_grid(
+            max(int(c / grid_spacing), 2 * SPLINE_ORDER) for c in cell
+        )
         volume = float(np.prod(cell))
 
         # influence function on the half/full FFT grid

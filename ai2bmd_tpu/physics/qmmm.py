@@ -169,6 +169,20 @@ class QMMMPotential:
                     "box too small for the cellpair backend (needs >= 3 "
                     "cells per axis at the cutoff); use dense"
                 )
+            if cp is not None and pair_backend == "auto":
+                # the occ sizing assumes liquid-like (near-Poisson) cell
+                # occupancy; a sparse synthetic box with one dense cluster
+                # overflows a cell.  Under "auto", probe the input
+                # structure once and fall back to the dense path instead
+                # of failing at init_aux (explicit "cellpair" still
+                # raises there).
+                import jax as _jax
+
+                probe = CPm.assign(
+                    cp, jnp.asarray(atoms.positions, jnp.float32)
+                )
+                if bool(_jax.device_get(probe.overflow)):
+                    cp = None
         dense = cp is None and (
             pair_backend == "dense"
             or (
@@ -331,14 +345,16 @@ class QMMMPotential:
         if induction == "ewald":
             # full-Ewald (meshed) induction — cutoff/split-invariant
             # (the real-space SCF swings ~20% with cutoff; see
-            # tests/test_amoeba_induction.py).  The converged induced
-            # dipoles are carried across steps (warm CG start): at 1 fs
-            # displacements they barely move, so the default iteration
-            # budget drops without losing residual quality.
+            # tests/test_amoeba_induction.py).  The variational
+            # (implicit-gradient) path: both Tinker fields' converged
+            # dipoles are carried across steps (warm PCG starts — at 1 fs
+            # displacements they barely move) and forces come from the
+            # fixed-dipole functional, so the CG solve costs forward
+            # passes only (amoeba_system.induction_variational).
             def mm_full_ef(P, nl, mu):
                 def e_of(p):
-                    e, m = sys_full.energy_ewald_induction_warm(
-                        p, nl, mu, cg_iters=cg_iters
+                    e, m = sys_full.energy_ewald_variational(
+                        p, nl, mu[0], mu[1], cg_iters=cg_iters
                     )
                     return e + water_bonded(p), m
 
@@ -347,17 +363,16 @@ class QMMMPotential:
 
             def mm_prot_ef(Pp, nlp, mu):
                 def e_of(p):
-                    return sys_prot.energy_ewald_induction_warm(
-                        p, nlp, mu, cg_iters=cg_iters
+                    return sys_prot.energy_ewald_variational(
+                        p, nlp, mu[0], mu[1], cg_iters=cg_iters
                     )
 
                 (e, m), g = jax.value_and_grad(e_of, has_aux=True)(Pp)
                 return e, -g, m
 
-            init_carry = (
-                jnp.zeros((sys_full.n_atoms, 3), jnp.float32),
-                jnp.zeros((sys_prot.n_atoms, 3), jnp.float32),
-            )
+            zf = jnp.zeros((sys_full.n_atoms, 3), jnp.float32)
+            zp = jnp.zeros((sys_prot.n_atoms, 3), jnp.float32)
+            init_carry = ((zf, zf), (zp, zp))
             return mm_full_ef, mm_prot_ef, init_carry
 
         if induction != "sor":

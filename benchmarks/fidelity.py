@@ -229,6 +229,32 @@ def fidelity_one(name: str, path: str, md_steps: int, decompose: bool):
             "cold50": cap_err(pos_c50),
             "cold30_fusedgrad": cap_err(pos_c30f),
         }
+
+        # convergence quality of each cap protocol: residual AMBER
+        # gradient on the cap coordinates (kcal/mol/A).  Unlike distance-
+        # from-cold-30 — which the near-degenerate cap basins make
+        # protocol-ambiguous at the ~1 A level — this is well-defined per
+        # solution and directly comparable to the reference's cold-10
+        # torch L-BFGS protocol (energies.py:211-242).
+        cap_grad = jax.jit(
+            lambda pos: jax.grad(lambda p: FH.amber_energy(ht_jnp, p))(pos)
+        )
+
+        def gstat(pos):
+            g = np.linalg.norm(np.asarray(cap_grad(pos)), axis=-1)[capm]
+            return {
+                "max": round(float(g.max()), 4),
+                "rms": round(float(np.sqrt((g**2).mean())), 4),
+            }
+
+        out["cap_grad_kcal_A"] = {
+            "warm1": gstat(pos_w1),
+            "warm2": gstat(pos_w2),
+            "warm3": gstat(pos_w3),
+            "cold10": gstat(pos_c10),
+            "cold30": gstat(pos_c30),
+            "cold50": gstat(pos_c50),
+        }
     return out
 
 

@@ -69,9 +69,21 @@ def main():
     )
 
     def potential(P, aux):
+        # same stabilized shape as run_all.bench_one: the zeroed QM head
+        # removes protein-internal forces, so re-add the protein MM term
         e, f, aux = qmmm(P, aux)
         Pp = P[qmmm.sel]
-        e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
+        if qmmm.dense or qmmm.cp is not None:
+            e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
+        else:
+            from ai2bmd_tpu.ops import neighbors as NL
+
+            n_prot = qmmm.sel.shape[0]
+            nlp = NL.build_neighbor_list(
+                Pp, qmmm.cutoff, min(qmmm.k_neighbors, n_prot),
+                qmmm.cell, tile=min(512, n_prot),
+            )
+            e1, f1, _ = qmmm.mm_prot_ef(Pp, nlp, qmmm.mm_init_carry[1])
         return e + e1, f.at[qmmm.sel].add(f1), aux
 
     coeffs = L.LangevinCoeffs.build(full.masses, 1.0, 300.0, 0.001)

@@ -13,7 +13,12 @@ import pytest
 
 from ai2bmd_tpu.physics import amoeba_pme as MP
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True)
+def _f64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 @pytest.fixture
