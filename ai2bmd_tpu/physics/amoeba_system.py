@@ -587,6 +587,11 @@ class AmoebaPeriodicSystem:
         b_p = -g0 - 2.0 * gp           # E_p = E_d - 2 grad pcorr
         prec = alpha[:, None]
 
+        # NOTE: stacking the two solves as one 2-RHS batched PCG
+        # (vmap(hvp) over a trailing column axis) was tried and OOM'd the
+        # 17.9k-atom box at compile (20.2 vs 15.75 GB HBM): batching keeps
+        # both columns' [N,K]-sized tangent chains live concurrently.
+        # The fields are solved sequentially instead.
         def pcg(b, x0):
             def body(carry, _):
                 m, r_, z_, p_ = carry
