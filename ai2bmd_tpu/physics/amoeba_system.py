@@ -494,6 +494,89 @@ class AmoebaPeriodicSystem:
 
         return F, alpha, pcorr
 
+    def _mutual_operator(self, P, nl: NeighborList):
+        """Explicit Hessian application A(p) of the induction functional.
+
+        The Hessian of F (quadratic in m) has four parts:
+
+          * diag(1/alpha)                      (the self-polarization term)
+          * real-space Thole/Ewald dipole T:   from the mutual term of
+            e_real, e_m = sum_pairs B1_eff (m_i.m_j) - B2_eff (m_i.x)(m_j.x)
+            so (T p)_i = sum_j [B1_eff p_j - B2_eff (p_j.x) x]
+          * reciprocal + self:  e_recip_self's quadratic part is the
+            homogeneous form E(m) = reciprocal_energy(0, m, 0) +
+            self_energy(0, m, 0) whose gradient AT p equals Hessian @ p.
+
+        The cross (permanent<->induced) and d-mask terms are linear in m
+        and contribute to the RHS only.  Using this operator instead of
+        `jax.linearize(grad(F))` removes the tangent chains through the
+        full multipole energy from every CG iteration — the linearized
+        hvp was both ~4x the FLOPs and the source of the [N,K,3] pad-
+        blowup copies that OOM'd profiling on the 17.9k-atom box.
+
+        Exactness vs the autodiff hvp is pinned by
+        tests/test_amoeba_variational.py::test_mutual_operator_matches_hvp.
+        """
+        pd = self.pdamp.astype(P.dtype)
+        th = self.thole.astype(P.dtype)
+        G = jnp.concatenate([pd[:, None], th[:, None], P], axis=-1)
+        Gj = G[nl.idx]                                   # [N,K,5]
+        dx = _minimum_image(Gj[..., 2] - P[:, None, 0], self.cell[0])
+        dy = _minimum_image(Gj[..., 3] - P[:, None, 1], self.cell[1])
+        dz = _minimum_image(Gj[..., 4] - P[:, None, 2], self.cell[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        live = nl.valid & (r2 < self.cutoff * self.cutoff)
+        dx = jnp.where(live, dx, 10.0)
+        dy = jnp.where(live, dy, 0.0)
+        dz = jnp.where(live, dz, 0.0)
+        r2s = jnp.where(live, r2, 100.0)
+        l3, l5, _ = _thole_lambdas(
+            jnp.sqrt(r2s), pd[:, None] * Gj[..., 0],
+            jnp.minimum(th[:, None], Gj[..., 1]),
+        )
+        be = MP.bn_chain_erfc(r2s, self.pme.beta, n=3)
+        bc = MP.bn_chain_coulomb(r2s, n=3)
+        b1 = jnp.where(live, be[1] - (1.0 - l3) * bc[1], 0.0)
+        b2 = jnp.where(live, be[2] - (1.0 - l5) * bc[2], 0.0)
+        inv_alpha = 1.0 / jnp.maximum(self.alpha.astype(P.dtype), 1e-6)
+        zq = jnp.zeros((self.n_atoms,), P.dtype)
+        zt = jnp.zeros((self.n_atoms, 3, 3), P.dtype)
+
+        def recip_self(m):
+            return MP.reciprocal_energy(self.pme, P, zq, m, zt) + (
+                MP.self_energy(zq, m, zt, self.pme.beta)
+            )
+
+        recip_grad = jax.grad(recip_self)
+        idx = nl.idx
+
+        def apply(p):
+            Pj = p[idx]                                  # [N,K,3]
+            pjx, pjy, pjz = Pj[..., 0], Pj[..., 1], Pj[..., 2]
+            pr = pjx * dx + pjy * dy + pjz * dz
+            b2pr = b2 * pr
+            T = jnp.stack(
+                [
+                    jnp.sum(b1 * pjx - b2pr * dx, axis=1),
+                    jnp.sum(b1 * pjy - b2pr * dy, axis=1),
+                    jnp.sum(b1 * pjz - b2pr * dz, axis=1),
+                ],
+                axis=-1,
+            )
+            return p * inv_alpha[:, None] + T + recip_grad(p)
+
+        return apply
+
+    def _mutual_operator_batched(self, P, nl: NeighborList):
+        """[N,3,R] multi-RHS variant of _mutual_operator: the per-pair
+        scalars (b1, b2, displacements) are read once per iteration and
+        shared across the R right-hand sides, and the R reciprocal FFTs
+        batch.  Cheap now that the operator is explicit — batching the
+        LINEARIZED hvp kept both columns' full tangent chains live and
+        OOM'd the 17.9k-atom box."""
+        apply_one = self._mutual_operator(P, nl)
+        return jax.vmap(apply_one, in_axes=-1, out_axes=-1)
+
     def induced_dipoles_ewald(self, P, nl: NeighborList, cg_iters: int = 12,
                               m0=None):
         """Fixed-iteration CG minimization of the quadratic induction
@@ -515,12 +598,14 @@ class AmoebaPeriodicSystem:
         the cost of one elementwise multiply (measured in
         tests/test_amoeba_induction.py::test_pcg_beats_cg)."""
         F, alpha, pcorr = self._induction_functional(P, nl)
-        gradF = jax.grad(F)
         zeros = jnp.zeros((self.n_atoms, 3), P.dtype)
-        # F is quadratic: linearize gradF ONCE — g0 = -E_d (the permanent
-        # field) and hvp is the constant Hessian-vector product, evaluated
-        # without re-running the primal each CG iteration
-        g0, hvp = jax.linearize(gradF, zeros)
+        # F is quadratic: g0 = gradF(0) = -E_d (the permanent field) is one
+        # backward pass, and the constant Hessian application comes from
+        # the EXPLICIT operator (_mutual_operator) instead of
+        # jax.linearize(gradF) — the linearized hvp dragged tangent chains
+        # through the full multipole energy every CG iteration
+        g0 = jax.grad(F)(zeros)
+        hvp = self._mutual_operator(P, nl)
         if m0 is None:
             m0 = zeros
         else:
@@ -578,38 +663,44 @@ class AmoebaPeriodicSystem:
         units.COULOMB).
         """
         F, alpha, pcorr = self._induction_functional(P, nl)
-        gradF = jax.grad(F)
         zeros = jnp.zeros((self.n_atoms, 3), P.dtype)
-        g0, hvp = jax.linearize(gradF, zeros)
+        g0 = jax.grad(F)(zeros)
         # pcorr is linear in m: its (constant) gradient is -1/2 (E_p - E_d)
         gp = jax.grad(pcorr)(zeros)
         b_d = -g0                      # E_d
         b_p = -g0 - 2.0 * gp           # E_p = E_d - 2 grad pcorr
         prec = alpha[:, None]
 
-        # NOTE: stacking the two solves as one 2-RHS batched PCG
-        # (vmap(hvp) over a trailing column axis) was tried and OOM'd the
-        # 17.9k-atom box at compile (20.2 vs 15.75 GB HBM): batching keeps
-        # both columns' [N,K]-sized tangent chains live concurrently.
-        # The fields are solved sequentially instead.
-        def pcg(b, x0):
+        # Both Tinker fields solve against the SAME operator A, so they
+        # run as one 2-RHS batched PCG ([N,3,2], per-column scalars): the
+        # pair scalars are read once per iteration for both columns and
+        # the two reciprocal FFTs batch.  (Batching was impossible with
+        # the linearized hvp — it kept both columns' full tangent chains
+        # live and OOM'd the 17.9k-atom box; the explicit operator's
+        # batched gather is ~270 MB.)
+        hvp_b = self._mutual_operator_batched(P, nl)
+        prec_b = prec[..., None]
+
+        def pcg_batched(B, X0):
             def body(carry, _):
                 m, r_, z_, p_ = carry
-                Ap = hvp(p_)
-                denom = jnp.sum(p_ * Ap)
-                rz = jnp.sum(r_ * z_)
+                Ap = hvp_b(p_)
+                denom = jnp.sum(p_ * Ap, axis=(0, 1))        # [R]
+                rz = jnp.sum(r_ * z_, axis=(0, 1))
                 a = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
                 m_new = m + a * p_
                 r_new = r_ - a * Ap
-                z_new = prec * r_new
-                b_ = jnp.where(jnp.abs(rz) > 1e-30,
-                               jnp.sum(r_new * z_new) / rz, 0.0)
+                z_new = prec_b * r_new
+                b_ = jnp.where(
+                    jnp.abs(rz) > 1e-30,
+                    jnp.sum(r_new * z_new, axis=(0, 1)) / rz, 0.0,
+                )
                 return (m_new, r_new, z_new, z_new + b_ * p_), None
 
-            r0 = b - hvp(x0)
-            z0 = prec * r0
+            R0 = B - hvp_b(X0)
+            Z0 = prec_b * R0
             (m, _, _, _), _ = jax.lax.scan(
-                body, (x0, r0, z0, z0), None, length=cg_iters
+                body, (X0, R0, Z0, Z0), None, length=cg_iters
             )
             return m
 
@@ -617,12 +708,17 @@ class AmoebaPeriodicSystem:
             return (zeros if m0 is None
                     else jax.lax.stop_gradient(m0.astype(P.dtype)))
 
-        m_d = jax.lax.stop_gradient(pcg(b_d, warm(m0_d)))
-        m_p = jax.lax.stop_gradient(pcg(b_p, warm(m0_p)))
+        M = jax.lax.stop_gradient(
+            pcg_batched(
+                jnp.stack([b_d, b_p], axis=-1),
+                jnp.stack([warm(m0_d), warm(m0_p)], axis=-1),
+            )
+        )
+        m_d, m_p = M[..., 0], M[..., 1]
 
-        # Quadratic F makes A(m_d) = gradF(m_d) - gradF(0) and
-        # m_d.gp = pcorr(m_d) (pcorr is linear), so
-        #   Phi = 1/2 m_d.g0 + pcorr(m_d) + 1/2 m_p.gradF(m_d).
+        # Quadratic F makes gradF(m_d) = g0 + A(m_d) with A the explicit
+        # mutual operator, and m_d.gp = pcorr(m_d) (pcorr is linear), so
+        #   Phi = 1/2 m_d.g0 + pcorr(m_d) + 1/2 m_p.(g0 + A(m_d)).
         # Rebuilt inside jax.checkpoint over P: the outer force grad
         # recomputes the functional's pair-geometry residuals instead of
         # keeping them live next to the solver's (the un-remat'd form
@@ -630,11 +726,12 @@ class AmoebaPeriodicSystem:
         @jax.checkpoint
         def phi_fn(P_, m_d_, m_p_):
             F_, _, pcorr_ = self._induction_functional(P_, nl)
-            gF = jax.grad(F_)
+            g0_ = jax.grad(F_)(jnp.zeros_like(m_d_))
+            A_ = self._mutual_operator(P_, nl)
             return (
-                0.5 * jnp.sum(m_d_ * gF(jnp.zeros_like(m_d_)))
+                0.5 * jnp.sum(m_d_ * g0_)
                 + pcorr_(m_d_)
-                + 0.5 * jnp.sum(m_p_ * gF(m_d_))
+                + 0.5 * jnp.sum(m_p_ * (g0_ + A_(m_d_)))
             )
 
         return m_d, m_p, phi_fn(P, m_d, m_p)

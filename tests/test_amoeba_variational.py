@@ -115,6 +115,29 @@ def test_protein_pcorr_forces_match():
     _compare(sys_, P, cg=30, atol_f=2e-6)
 
 
+def test_mutual_operator_matches_hvp():
+    """The explicit Hessian application (_mutual_operator) must equal the
+    autodiff hvp of the induction functional exactly — it is what every
+    CG iteration of the production solve applies."""
+    cell, P, asg = _water_box(m=3, L=9.3, seed=7)
+    sys_ = AmoebaPeriodicSystem.build(
+        asg, cell, cutoff=4.0, beta=0.5, grid_spacing=0.7,
+        dtype=jnp.float64,
+    )
+    Pj = jnp.asarray(P)
+    nl = sys_.neighbor_list(Pj, k_max=120)
+    F, _, _ = sys_._induction_functional(Pj, nl)
+    zeros = jnp.zeros((sys_.n_atoms, 3), Pj.dtype)
+    _, hvp_auto = jax.linearize(jax.grad(F), zeros)
+    apply_explicit = sys_._mutual_operator(Pj, nl)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        p = jnp.asarray(rng.standard_normal((sys_.n_atoms, 3)))
+        a = np.asarray(jax.jit(hvp_auto)(p))
+        b = np.asarray(jax.jit(apply_explicit)(p))
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
+
 def test_warm_start_consistency():
     """Warm-started variational solves reach the same (m_d, m_p, E)."""
     cell, P, asg = _water_box(m=2, L=6.4, seed=3)
