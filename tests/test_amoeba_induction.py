@@ -110,8 +110,8 @@ def test_warm_start_cuts_cg_budget(box64):
     rng = np.random.default_rng(11)
     P1 = P0 + jnp.asarray(rng.normal(0.0, 0.02, P0.shape))
     nl1 = sys_.neighbor_list(P1, k_max=190)
-    m_ref, f_ref = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=40,
-                                              m0=m_prev)
+    m_ref, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=40,
+                                          m0=m_prev)
 
     m_cold4, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=4)
     m_cold6, _ = sys_.induced_dipoles_ewald(P1, nl1, cg_iters=6)
