@@ -50,6 +50,39 @@ def load_model(ckpt_path: str | None, cfg: V.ViSNetConfig | None = None, seed: i
     return params, cfg
 
 
+def _bench_protein_mm(qmmm):
+    """Benchmark stabilizer (AI2BMD_BENCH_PROT_MM=1; benchmarks/e2e_cli.py).
+
+    With a zeroed random-weight QM head (AI2BMD_RANDOM_HEAD_SCALE=1e-30 —
+    no trained checkpoint ships with the reference snapshot) the
+    subtractive combiner cancels ALL protein-internal forces (MM1's
+    protein part minus MM2), so the bare protein collapses: measured NaN
+    within ~100 solvated steps (SWEEP_r05 first e2e attempt).  Re-adding
+    the protein's internal MM term makes the physics classical MD of the
+    full box (stable), and the measured step cost strictly UPPER-bounds
+    the production step: every production term still runs, plus one extra
+    protein-size MM eval.  Same stabilizer as benchmarks/run_all.py."""
+    import jax.numpy as jnp
+
+    def potential(P, aux):
+        e, f, aux = qmmm(P, aux)
+        Pp = P[qmmm.sel]
+        if qmmm.dense or qmmm.cp is not None:
+            e1, f1, _ = qmmm.mm_prot_ef(Pp, (), ())
+        else:
+            from ai2bmd_tpu.ops import neighbors as NL
+
+            n_prot = qmmm.sel.shape[0]
+            nlp = NL.build_neighbor_list(
+                Pp, qmmm.cutoff, min(qmmm.k_neighbors, n_prot),
+                qmmm.cell, tile=min(512, n_prot),
+            )
+            e1, f1, _ = qmmm.mm_prot_ef(Pp, nlp, qmmm.mm_init_carry[1])
+        return e + e1, f.at[qmmm.sel].add(f1), aux
+
+    return potential
+
+
 @dataclasses.dataclass
 class ProteinSimulation:
     """One assembled simulation: protein + potential + driver."""
@@ -142,6 +175,9 @@ class ProteinSimulation:
                     mm_backend=mm_backend,
                 )
             init_aux = qmmm.init_aux(jnp.asarray(full.positions, jnp.float32))
+            potential_fn = qmmm
+            if os.environ.get("AI2BMD_BENCH_PROT_MM") == "1":
+                potential_fn = _bench_protein_mm(qmmm)
             constraint = None
             if rigid_water:
                 # rigid TIP3P (SETTLE): removes the O-H stretch modes so the
@@ -150,7 +186,7 @@ class ProteinSimulation:
 
                 constraint = SettleConstraint.from_topology(qmmm.top)
             sim = Simulator(
-                potential=qmmm,
+                potential=potential_fn,
                 masses=full.masses,
                 numbers=full.numbers,
                 cfg=sim_cfg,

@@ -55,10 +55,18 @@ def main():
             "--no-constraints",
         ]
         env = dict(os.environ)
-        # random init weights (no reference checkpoint ships): damp the
+        # random init weights (no reference checkpoint ships): zero the
         # output head so the 1000-step trajectory stays physical; step
-        # cost is weight-independent (same stabilizer as run_all.py)
-        env["AI2BMD_RANDOM_HEAD_SCALE"] = "0.01"
+        # cost is weight-independent.  Same stabilizer strength as
+        # run_all.py — 0.01 was measured to still blow up the solvated
+        # box at ~step 100 (NaN guard trip, SWEEP_r05 first attempt);
+        # 1e-30 keeps the full compute graph live with negligible forces.
+        env["AI2BMD_RANDOM_HEAD_SCALE"] = "1e-30"
+        # ... which cancels all protein-internal forces in the subtractive
+        # combiner; re-add the protein MM term so the protein stays bound
+        # (simulators._bench_protein_mm — measured cost upper-bounds the
+        # production step)
+        env["AI2BMD_BENCH_PROT_MM"] = "1"
         t0 = time.perf_counter()
         proc = subprocess.run(
             cmd, cwd=ROOT, capture_output=True, text=True,
