@@ -143,11 +143,14 @@ class ProteinSimulation:
             hbond = BondRestraint.find_hydrogen_bonds(prot.atoms)
 
         # warm-started cap optimization: carry optimized cap offsets in the
-        # integrator aux.  ONE warm iteration measures BETTER converged than
-        # the reference's per-step cold 10-iteration LBFGS (max|dF| vs a
-        # 30-iter solve on chig at 1 fs-step displacements: 1.06e-2 warm1,
-        # 0.99e-2 warm2, 1.37e-2 cold10; warm1 stays ~0.95e-2 over repeated
-        # MD-like cycles) at a fraction of the cost
+        # integrator aux.  Justified by the round-5 stitched-force
+        # decomposition (benchmarks/fidelity.py --decompose, SWEEP_r05 /
+        # BASELINE.md): warm-1's deviation from a converged-cap oracle is
+        # 0.90-1.45x the reference's own cold 10-iteration L-BFGS protocol
+        # across the four bundled proteins (BETTER than the reference on
+        # the two largest), and all protocols in this family sit inside
+        # the oracle's own 30-vs-50-iteration ambiguity — at ~0.3 ms/step
+        # per extra iteration, 1 is the measured sweet spot.
         import jax.numpy as jnp
 
         use_warm = warm_caps and mode == "fragment"
